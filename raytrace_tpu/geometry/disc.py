@@ -1,0 +1,139 @@
+"""Proper areas of equatorial accretion-disc annuli.
+
+Capability of the reference ``src/include/disc.h``: tetrad-projected
+parallelogram areas of thin annuli, in the Keplerian region (r >= ISCO, frame
+of the circular orbit) and the plunging region inside the ISCO (frame of a
+geodesic plunge conserving the ISCO energy and angular momentum), plus the
+integrated bin areas used by every emissivity-profile application for
+per-bin normalisation.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from raytrace_tpu.geometry.kerr import (
+    Tetrad,
+    isco_radius,
+    keplerian_omega,
+    metric_coeffs,
+    metric_dot,
+    orbit_tetrad,
+)
+from raytrace_tpu.geometry.gramschmidt import gram_schmidt_tetrad
+
+
+def coordinate_disc_area(r, dr, a):
+    """Proper area of an equatorial annulus for a static slice (kerr.h:249-265)."""
+    rhosq = r * r
+    delta = r * r - 2.0 * r + a * a
+    return jnp.sqrt(r * r + a * a + 2.0 * a * a * r / rhosq) * jnp.sqrt(rhosq / delta) * dr
+
+
+def _parallelogram_area(r, dr, dphi, a, tet: Tetrad):
+    """Area of the (dr x dphi) coordinate parallelogram in the frame `tet`.
+
+    Projects the two coordinate sides onto the tetrad legs and takes the
+    norm of the 3-space cross product (disc.h:23-31). The projected
+    components are ordered (phi, theta, r) to match the tetrad leg order.
+    """
+    g = metric_coeffs(r, jnp.full_like(r, jnp.pi / 2), a)
+    zero = jnp.zeros_like(r)
+    side_r = (zero, dr, zero, zero)
+    side_phi = (zero, zero, zero, dphi)
+
+    def project(side):
+        return (
+            metric_dot(g, side, tet.ephi),
+            metric_dot(g, side, tet.etheta),
+            metric_dot(g, side, tet.er),
+        )
+
+    u = project(side_r)
+    v = project(side_phi)
+    cx = u[1] * v[2] - u[2] * v[1]
+    cy = u[2] * v[0] - u[0] * v[2]
+    cz = u[0] * v[1] - u[1] * v[0]
+    return jnp.sqrt(cx * cx + cy * cy + cz * cz)
+
+
+def rel_disc_area(r, dr, dphi, a):
+    """Annulus area in the local rest frame of Keplerian disc material.
+
+    Capability of disc.h:11-32 (`rel_vector_disc_area`).
+    """
+    theta = jnp.full_like(jnp.asarray(r, dtype=jnp.result_type(r, 1.0)), jnp.pi / 2)
+    V = keplerian_omega(r, a)
+    tet = orbit_tetrad(r, theta, a, V)
+    return _parallelogram_area(r, dr, dphi, a, tet)
+
+
+def plunge_velocity(r, a, r_plunge=None):
+    """4-velocity of a geodesic plunge from the ISCO at equatorial radius r.
+
+    The plunging material conserves the energy k and angular momentum h of
+    the circular orbit at the plunge radius (default: the ISCO), giving
+    (disc.h:44-57):
+      u^t   = ((r^2 + a^2 + 2a^2/r) k - 2 a h / r) / delta
+      u^r   = -sqrt(k^2 - 1 + 2/r + (a^2(k^2-1) - h^2)/r^2 + 2(h - a k)^2/r^3)
+      u^phi = (2 a k / r + (1 - 2/r) h) / delta
+    At r = r_plunge the u^r operand underflows to ~0; it is clamped to zero.
+    """
+    if r_plunge is None:
+        r_plunge = isco_radius(a)
+    delta = r * r - 2.0 * r + a * a
+    u = 1.0 / r_plunge
+    root = jnp.sqrt(u * u * u)
+    den = jnp.sqrt(1.0 - 3.0 * u + 2.0 * a * root)
+    k = (1.0 - 2.0 * u + a * root) / den
+    h = (1.0 + a * a * u * u - 2.0 * a * root) / (jnp.sqrt(u) * den)
+
+    ut = ((r * r + a * a + 2.0 * a * a / r) * k - 2.0 * a * h / r) / delta
+    ur_sq = (
+        k * k
+        - 1.0
+        + 2.0 / r
+        + (a * a * (k * k - 1.0) - h * h) / (r * r)
+        + 2.0 * (h - a * k) * (h - a * k) / (r * r * r)
+    )
+    ur = -jnp.sqrt(jnp.maximum(ur_sq, 0.0))
+    uphi = (2.0 * a * k / r + (1.0 - 2.0 / r) * h) / delta
+    return (ut, ur, jnp.zeros_like(ut), uphi)
+
+
+def plunge_disc_area(r, dr, dphi, a, r_plunge=None):
+    """Annulus area in the rest frame of ISCO-plunge material (disc.h:34-76)."""
+    theta = jnp.full_like(jnp.asarray(r, dtype=jnp.result_type(r, 1.0)), jnp.pi / 2)
+    u = plunge_velocity(r, a, r_plunge)
+    tet = gram_schmidt_tetrad(r, theta, u, a)
+    return _parallelogram_area(r, dr, dphi, a, tet)
+
+
+def integrate_disc_area(rmin, rmax, a, force_keplerian=False, n_sub=50, dphi=0.1, logbin=True):
+    """Total rest-frame area of the disc between rmin and rmax.
+
+    Splits [rmin, rmax) into n_sub-1 sub-annuli (log or linear), evaluates
+    each in the Keplerian frame outside the ISCO and the plunge frame inside
+    (unless force_keplerian), and sums the positive contributions
+    (disc.h:125-141). Vectorised over the sub-annuli; rmin/rmax must be
+    scalars (they are in every reference app).
+    """
+    rmin = jnp.asarray(rmin, dtype=jnp.result_type(rmin, 1.0))
+    r_isco = isco_radius(a)
+    idx = jnp.arange(n_sub - 1)
+    if logbin:
+        ratio = jnp.exp(jnp.log(rmax / rmin) / (n_sub - 1))
+        r = rmin * ratio**idx
+        dr = r * (ratio - 1.0)
+    else:
+        dr_lin = (rmax - rmin) / (n_sub - 1)
+        r = rmin + idx * dr_lin
+        dr = jnp.full_like(r, dr_lin)
+
+    kep = rel_disc_area(r, dr, dphi, a)
+    if force_keplerian:
+        area = kep
+    else:
+        plunge = plunge_disc_area(r, dr, dphi, a)
+        area = jnp.where(r >= r_isco, kep, plunge)
+    return jnp.sum(jnp.where(area > 0, area, 0.0))

@@ -1,0 +1,31 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+The harness's sitecustomize registers a tunneled remote-TPU ("axon") PJRT
+plugin in every interpreter and forces jax_platforms="axon,cpu" *at
+interpreter startup*, before conftest runs — so plain env vars are not
+enough. Eager dispatch over that tunnel makes unit tests unusably slow (and
+silently demotes f64 to f32 on TPU hardware), and the sharding tests need 8
+devices, so we force the CPU backend at the config level here, before any
+test imports jax arrays. Real-TPU runs (bench.py, apps) are unaffected.
+"""
+
+import os
+
+# For any subprocesses the tests may spawn.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402  (sitecustomize has usually imported it already)
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_sessionstart(session):
+    # Fail fast if the CPU override did not take: running the suite over the
+    # axon tunnel is ~100x slower and f64-unsafe.
+    assert jax.default_backend() == "cpu", (
+        f"tests must run on CPU, got {jax.default_backend()}"
+    )
+    assert jax.device_count() == 8, "expected 8 virtual CPU devices for sharding tests"
