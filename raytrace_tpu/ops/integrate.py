@@ -1,0 +1,649 @@
+"""Batched null-geodesic integration in the Kerr spacetime.
+
+The TPU-native replacement for the reference's per-ray propagators
+(``src/raytracer/raytracer.cpp``): instead of an OpenMP loop over rays each
+running its own data-dependent while loop, the whole ray batch is marched in
+lock-step by one ``lax.while_loop`` whose body advances every ray one step
+under masks. Finished rays are frozen; the loop exits when every ray is done
+(or the step limit is reached). All three reference integrators are provided:
+
+  * ``euler`` — semi-analytic first order: momenta re-derived algebraically
+    from the conserved (k, h, Q) each step, only positions integrated
+    (raytracer.cpp:129-340).
+  * ``rk4`` — classical RK4 on positions, stage momenta from the constants
+    (raytracer.cpp:755-970).
+  * ``rk45`` — adaptive Dormand-Prince DOPRI5 with per-lane step size and
+    per-lane accept/reject folded into the lock-step loop: a rejected lane
+    simply keeps its state and retries with the shrunk step on the next
+    iteration (raytracer.cpp:1260-1598).
+
+The radial/polar turning-point bookkeeping (sign flips of the square-rooted
+rates, gated on the squared rate having previously been positive), the polar
+axis reflection, the ergosphere / negative-Killing-energy diagnostics, the
+horizon step-cap for DOPRI5's negative tableau coefficients, and the
+stuck-ray step-limit negation all follow the reference semantics; see the
+inline citations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from raytrace_tpu.destinations import Destination, ThetaLimit
+from raytrace_tpu.geometry.kerr import geodesic_rates, horizon_radius, momentum_from_consts
+from raytrace_tpu.rays import (
+    RAY_STATUS_DEST,
+    RAY_STATUS_ERGO,
+    RAY_STATUS_HORIZON,
+    RAY_STATUS_NEG_ENERGY,
+    RAY_STATUS_RLIM,
+    RAY_STATUS_STEPLIM,
+    RayBatch,
+)
+
+# Reference step limits (raytracer.h:30-39): adaptive steps are much larger,
+# so legitimate RK45 rays finish in far fewer steps and stuck photon-sphere
+# rays can be cut off 100x earlier.
+STEPLIM = 10_000_000
+RK45_STEPLIM = 100_000
+
+_PI = jnp.pi
+_HALF_PI = jnp.pi / 2
+
+
+@dataclasses.dataclass(frozen=True)
+class StepControl:
+    """Static step-size tuning constants (raytracer.h:18-46).
+
+    These are compile-time constants of the traced program (hashable, used as
+    a static jit argument); the physical parameters (spin, limits, destination
+    geometry) stay traced.
+    """
+
+    precision: float = 100.0
+    theta_precision: float = 50.0
+    max_tstep: float = 1.0  # MAXDT: cap on coordinate-time step ...
+    maxtstep_rlim: float = 100.0  # ... applied only inside this radius
+    max_phistep: float = 0.1  # MAXDPHI
+    min_step: float = 1e-3  # MIN_STEP
+    rk45_tol: float = 1e-8  # DOPRI5 mixed abs/rel error tolerance
+    # Relative thickness of the horizon-capture shell: rays inside
+    # r <= r_h * (1 + horizon_eps) are classified RAY_STATUS_HORIZON.
+    # In Boyer-Lindquist coordinates infalling rays only reach the horizon
+    # asymptotically; the reference's Euler/RK4 cross it numerically thanks
+    # to the MIN_STEP floor, while its RK45 horizon-cap makes them creep at
+    # (r - r_h)/precision per step until the step limit eats them
+    # (raytracer.cpp:1412-1434 + RK45_STEPLIM) — equally excluded from
+    # science output, but in a lock-step batch those creeping lanes dominate
+    # wall-clock. The shell stops them in O(10^3) steps instead of 10^5.
+    # 1e-6 is far inside any photon-sphere turning radius even at a = 0.998
+    # (prograde r_ph - r_h ~ 1e-2).
+    horizon_eps: float = 1e-6
+    safety: float = 0.9  # Hairer-Wanner controller constants
+    fac_min: float = 0.1
+    fac_max: float = 5.0
+
+
+# ---------------------------------------------------------------------------
+# DOPRI5 Butcher tableau (Dormand & Prince 1980). b2 = 0 so stage 2 drops out
+# of the 5th-order solution; e_i = b_i - b*_i give the embedded error.
+# ---------------------------------------------------------------------------
+_A21 = 1 / 5
+_A31, _A32 = 3 / 40, 9 / 40
+_A41, _A42, _A43 = 44 / 45, -56 / 15, 32 / 9
+_A51, _A52, _A53, _A54 = 19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729
+_A61, _A62, _A63, _A64, _A65 = 9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656
+_B1, _B3, _B4, _B5, _B6 = 35 / 384, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84
+_E1, _E3, _E4, _E5, _E6, _E7 = (
+    71 / 57600,
+    -71 / 16695,
+    71 / 1920,
+    -17253 / 339200,
+    22 / 525,
+    -1 / 40,
+)
+
+
+def _k1_stage(st: RayBatch, spin):
+    """First-stage momenta with the turning-point sign bookkeeping.
+
+    Returns (updated signs/gates/flip info, stage momenta). A lane where the
+    polar rate went negative while its gate was open flips its theta sign and
+    *skips this step entirely* — the reference's ``continue``
+    (raytracer.cpp:196-201); everything downstream must mask on
+    ``~theta_flip``.
+    """
+    rates = geodesic_rates(st.r, st.theta, st.k, st.h, st.Q, st.rdot_sign, st.thetadot_sign, spin)
+
+    theta_flip = (rates.thetadot_sq < 0) & st.theta_was_positive
+    thetadot_sign = jnp.where(theta_flip, -st.thetadot_sign, st.thetadot_sign)
+    theta_was_positive = ~theta_flip & (rates.thetadot_sq >= 0)
+
+    r_flip = (rates.rdot_sq <= 0) & st.r_was_positive & ~theta_flip
+    rdot_sign = jnp.where(r_flip, -st.rdot_sign, st.rdot_sign)
+    r_was_positive = jnp.where(theta_flip, st.r_was_positive, rates.rdot_sq > 0)
+
+    # pr is taken with the *new* radial sign (the flip happens before the
+    # square root, raytracer.cpp:211-222); ptheta keeps the old sign (flip
+    # lanes never use it this step).
+    pr1 = jnp.abs(rates.pr) * rdot_sign
+    return (
+        theta_flip,
+        r_flip,
+        rdot_sign,
+        thetadot_sign,
+        r_was_positive,
+        theta_was_positive,
+        rates.pt,
+        pr1,
+        rates.ptheta,
+        rates.pphi,
+    )
+
+
+def _nonphysical_status(st, spin, pt1, pphi1, active):
+    """ERGO (p^t <= 0) and negative-Killing-energy flags (raytracer.cpp:263-273)."""
+    sin_t = jnp.sin(st.theta)
+    cos_t = jnp.cos(st.theta)
+    rhosq = st.r * st.r + (spin * cos_t) * (spin * cos_t)
+    killing = (1.0 - 2.0 * st.r / rhosq) * pt1 + (
+        2.0 * spin * st.r * sin_t * sin_t / rhosq
+    ) * pphi1
+    status = st.status
+    status = status | jnp.where(active & (pt1 <= 0), RAY_STATUS_ERGO, 0)
+    status = status | jnp.where(active & (killing < 0), RAY_STATUS_NEG_ENERGY, 0)
+    return status
+
+
+def _base_step_size(st, horizon, pt1, pr1, ptheta1, pphi1, rlim, ctrl: StepControl):
+    """Fixed-step heuristic shared by Euler and RK4 (raytracer.cpp:224-243):
+    distance-to-horizon over radial speed, polar cap, coordinate-time cap
+    inside maxtstep_rlim, azimuthal cap, MIN_STEP floor, rlim overshoot clamp.
+    """
+    step = jnp.abs((st.r - horizon) / pr1) / ctrl.precision
+    theta_cap = jnp.abs(st.theta / ptheta1)
+    step = jnp.where(step > theta_cap / ctrl.precision, theta_cap / ctrl.theta_precision, step)
+    if ctrl.max_tstep > 0:
+        t_cap = jnp.abs(ctrl.max_tstep / pt1)
+        step = jnp.where((st.r < ctrl.maxtstep_rlim) & (step > t_cap), t_cap, step)
+    if ctrl.max_phistep > 0:
+        phi_cap = jnp.abs(ctrl.max_phistep / pphi1)
+        step = jnp.where(step > phi_cap, phi_cap, step)
+    step = jnp.maximum(step, ctrl.min_step)
+    step = jnp.where(
+        (rlim > 0) & (st.r + pr1 * step > rlim), jnp.abs((rlim - st.r) / pr1), step
+    )
+    return step
+
+
+def _polar_reflect(theta, phi, thetadot_sign):
+    """Reflect at the polar axes, clamping theta to [0, pi] and rotating phi
+    by pi (raytracer.cpp:281-283)."""
+    low = theta < 0
+    high = theta > _PI
+    theta = jnp.where(low, -theta, jnp.where(high, 2 * _PI - theta, theta))
+    phi = jnp.where(low | high, phi + _PI, phi)
+    thetadot_sign = jnp.where(low | high, -thetadot_sign, thetadot_sign)
+    return theta, phi, thetadot_sign
+
+
+def _commit(st: RayBatch, spin, dest, rlim, horizon, steplim, horizon_eps, commit_mask, new_pos, new_mom, signs, counters):
+    """Apply an accepted step for the lanes in commit_mask and update status.
+
+    new_pos = (t, r, theta, phi); new_mom = (pt, pr, ptheta, pphi) to store;
+    signs = (rdot_sign, thetadot_sign, r_was_positive, theta_was_positive);
+    counters = (step_counted_mask, rdot_flip_mask).
+    """
+    t_n, r_n, th_n, ph_n = new_pos
+    pt_n, pr_n, pth_n, pph_n = new_mom
+    rdot_sign, thetadot_sign, rwp, twp = signs
+    counted, r_flip = counters
+
+    prev_theta = st.theta
+    sel = lambda new, old: jnp.where(commit_mask, new, old)
+
+    t = sel(t_n, st.t)
+    r = sel(r_n, st.r)
+    theta = sel(th_n, st.theta)
+    phi = sel(ph_n, st.phi)
+
+    crossed_eq = commit_mask & (
+        ((prev_theta < _HALF_PI) & (theta >= _HALF_PI))
+        | ((prev_theta > _HALF_PI) & (theta <= _HALF_PI))
+    )
+
+    steps = st.steps + counted.astype(st.steps.dtype)
+    rdot_flips = st.rdot_flips + (r_flip & counted).astype(st.rdot_flips.dtype)
+    eq_cross = st.equatorial_crossings + crossed_eq.astype(st.equatorial_crossings.dtype)
+
+    # Termination checks on freshly-advanced lanes (raytracer.cpp:287-320).
+    hit_horizon = commit_mask & (r <= horizon * (1.0 + horizon_eps))
+    hit_rlim = commit_mask & ~hit_horizon & (rlim > 0) & (r >= rlim)
+    hit_dest = commit_mask & ~hit_horizon & ~hit_rlim & dest.reached(r, theta, phi, prev_theta)
+    status = st.status
+    status = status | jnp.where(hit_horizon, RAY_STATUS_HORIZON, 0)
+    status = status | jnp.where(hit_rlim, RAY_STATUS_RLIM, 0)
+    status = status | jnp.where(hit_dest, RAY_STATUS_DEST, 0)
+
+    # Stuck rays: when the per-ray step budget is exhausted, flag and stop.
+    active_after = (steps >= 0) & (
+        (status & (RAY_STATUS_DEST | RAY_STATUS_HORIZON | RAY_STATUS_RLIM)) == 0
+    )
+    stuck = active_after & (steps >= steplim)
+    status = status | jnp.where(stuck, RAY_STATUS_STEPLIM, 0)
+
+    return st.replace(
+        t=t,
+        r=r,
+        theta=theta,
+        phi=phi,
+        pt=sel(pt_n, st.pt),
+        pr=sel(pr_n, st.pr),
+        ptheta=sel(pth_n, st.ptheta),
+        pphi=sel(pph_n, st.pphi),
+        rdot_sign=rdot_sign,
+        thetadot_sign=thetadot_sign,
+        r_was_positive=rwp,
+        theta_was_positive=twp,
+        steps=steps,
+        status=status,
+        rdot_flips=rdot_flips,
+        equatorial_crossings=eq_cross,
+    )
+
+
+def _euler_rk4_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, method, active):
+    (
+        theta_flip,
+        r_flip,
+        rdot_sign,
+        thetadot_sign,
+        rwp,
+        twp,
+        pt1,
+        pr1,
+        ptheta1,
+        pphi1,
+    ) = _k1_stage(st, spin)
+
+    advance = active & ~theta_flip
+    status = _nonphysical_status(st, spin, pt1, pphi1, advance)
+    st = st.replace(status=status)
+
+    step = _base_step_size(st, horizon, pt1, pr1, ptheta1, pphi1, rlim, ctrl)
+    # The plain thetalim mode additionally clamps the final step onto the disc
+    # plane (raytracer.cpp:243); destination mode does not (RK4-dest variant,
+    # raytracer.cpp:1036-1254).
+    if isinstance(dest, ThetaLimit):
+        lim = dest.step_limit(st.r, st.theta, st.phi, pr1, ptheta1, pphi1)
+        step = jnp.minimum(step, lim)
+
+    if method == "euler":
+        t_n = st.t + pt1 * step
+        r_n = st.r + pr1 * step
+        th_raw = st.theta + ptheta1 * step
+        ph_n = st.phi + pphi1 * step
+        mom = (pt1, pr1, ptheta1, pphi1)
+    else:  # rk4
+        half = step / 2
+        pt2, pr2, pth2, pph2 = momentum_from_consts(
+            st.r + half * pr1, st.theta + half * ptheta1, st.k, st.h, st.Q, rdot_sign, thetadot_sign, spin
+        )
+        pt3, pr3, pth3, pph3 = momentum_from_consts(
+            st.r + half * pr2, st.theta + half * pth2, st.k, st.h, st.Q, rdot_sign, thetadot_sign, spin
+        )
+        pt4, pr4, pth4, pph4 = momentum_from_consts(
+            st.r + step * pr3, st.theta + step * pth3, st.k, st.h, st.Q, rdot_sign, thetadot_sign, spin
+        )
+        w = step / 6
+        t_n = st.t + w * (pt1 + 2 * pt2 + 2 * pt3 + pt4)
+        r_n = st.r + w * (pr1 + 2 * pr2 + 2 * pr3 + pr4)
+        th_raw = st.theta + w * (ptheta1 + 2 * pth2 + 2 * pth3 + pth4)
+        ph_n = st.phi + w * (pphi1 + 2 * pph2 + 2 * pph3 + pph4)
+        mom = (pt4, pr4, pth4, pph4)
+
+    th_n, ph_n, thetadot_sign_r = _polar_reflect(th_raw, ph_n, thetadot_sign)
+    thetadot_sign = jnp.where(advance, thetadot_sign_r, thetadot_sign)
+
+    # Sign/gate state updates apply to every active lane (flip lanes update
+    # their signs without moving); position commits only on advancing lanes.
+    signs = (
+        jnp.where(active, rdot_sign, st.rdot_sign),
+        jnp.where(active, thetadot_sign, st.thetadot_sign),
+        jnp.where(active, rwp, st.r_was_positive),
+        jnp.where(active, twp, st.theta_was_positive),
+    )
+    return _commit(
+        st,
+        spin,
+        dest,
+        rlim,
+        horizon,
+        steplim,
+        ctrl.horizon_eps,
+        advance,
+        (t_n, r_n, th_n, ph_n),
+        mom,
+        signs,
+        (active, r_flip),
+    ), None
+
+
+def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active, step):
+    (
+        theta_flip,
+        r_flip,
+        rdot_sign,
+        thetadot_sign,
+        rwp,
+        twp,
+        pt1,
+        pr1,
+        ptheta1,
+        pphi1,
+    ) = _k1_stage(st, spin)
+
+    advance = active & ~theta_flip
+    st = st.replace(status=_nonphysical_status(st, spin, pt1, pphi1, advance))
+
+    # Horizon step-cap: DOPRI5's large negative tableau coefficients can push
+    # intermediate stages inside the horizon where the error estimator cannot
+    # see the corruption; cap the carried step by the same distance-to-horizon
+    # heuristic (plus phi/t caps) every iteration (raytracer.cpp:1412-1434).
+    step_max = jnp.abs((st.r - horizon) / pr1) / ctrl.precision
+    if ctrl.max_phistep > 0:
+        step_max = jnp.minimum(step_max, jnp.abs(ctrl.max_phistep / pphi1))
+    if ctrl.max_tstep > 0:
+        step_max = jnp.where(
+            st.r < ctrl.maxtstep_rlim,
+            jnp.minimum(step_max, jnp.abs(ctrl.max_tstep / pt1)),
+            step_max,
+        )
+    step = jnp.where(advance & (step > step_max), step_max, step)
+
+    # Clamp the trial step so the destination surface is not overshot; a
+    # clamped accepted step does not update the running step size
+    # (raytracer.cpp:1442-1453, 1752-1755).
+    lim = dest.step_limit(st.r, st.theta, st.phi, pr1, ptheta1, pphi1)
+    clamped = lim < step
+    h_try = jnp.where(clamped, lim, step)
+
+    k, h, Q = st.k, st.h, st.Q
+    stage = partial(
+        momentum_from_consts, k=k, h=h, Q=Q, rdot_sign=rdot_sign, thetadot_sign=thetadot_sign, a=spin
+    )
+
+    def at(dr, dth):
+        return stage(st.r + h_try * dr, st.theta + h_try * dth)
+
+    pt2, pr2, pth2, pph2 = at(_A21 * pr1, _A21 * ptheta1)
+    pt3, pr3, pth3, pph3 = at(_A31 * pr1 + _A32 * pr2, _A31 * ptheta1 + _A32 * pth2)
+    pt4, pr4, pth4, pph4 = at(
+        _A41 * pr1 + _A42 * pr2 + _A43 * pr3,
+        _A41 * ptheta1 + _A42 * pth2 + _A43 * pth3,
+    )
+    pt5, pr5, pth5, pph5 = at(
+        _A51 * pr1 + _A52 * pr2 + _A53 * pr3 + _A54 * pr4,
+        _A51 * ptheta1 + _A52 * pth2 + _A53 * pth3 + _A54 * pth4,
+    )
+    pt6, pr6, pth6, pph6 = at(
+        _A61 * pr1 + _A62 * pr2 + _A63 * pr3 + _A64 * pr4 + _A65 * pr5,
+        _A61 * ptheta1 + _A62 * pth2 + _A63 * pth3 + _A64 * pth4 + _A65 * pth5,
+    )
+
+    # 5th-order solution (b2 = 0): positions only, then reflect, then the
+    # FSAL stage k7 at the new point for the error estimate.
+    r_new = st.r + h_try * (_B1 * pr1 + _B3 * pr3 + _B4 * pr4 + _B5 * pr5 + _B6 * pr6)
+    th_new_raw = st.theta + h_try * (
+        _B1 * ptheta1 + _B3 * pth3 + _B4 * pth4 + _B5 * pth5 + _B6 * pth6
+    )
+    t_new = st.t + h_try * (_B1 * pt1 + _B3 * pt3 + _B4 * pt4 + _B5 * pt5 + _B6 * pt6)
+    phi_new = st.phi + h_try * (
+        _B1 * pphi1 + _B3 * pph3 + _B4 * pph4 + _B5 * pph5 + _B6 * pph6
+    )
+
+    th_new, phi_new, thetadot_sign_r = _polar_reflect(th_new_raw, phi_new, thetadot_sign)
+
+    pt7, pr7, pth7, pph7 = stage(r_new, th_new)
+
+    err_r = h_try * (_E1 * pr1 + _E3 * pr3 + _E4 * pr4 + _E5 * pr5 + _E6 * pr6 + _E7 * pr7)
+    err_th = h_try * (
+        _E1 * ptheta1 + _E3 * pth3 + _E4 * pth4 + _E5 * pth5 + _E6 * pth6 + _E7 * pth7
+    )
+    sc_r = ctrl.rk45_tol * (1.0 + jnp.maximum(jnp.abs(st.r), jnp.abs(r_new)))
+    sc_th = ctrl.rk45_tol * (1.0 + jnp.maximum(jnp.abs(st.theta), jnp.abs(th_new)))
+    err_norm = jnp.sqrt(0.5 * ((err_r / sc_r) ** 2 + (err_th / sc_th) ** 2))
+
+    fac = ctrl.safety * jnp.power(1.0 / jnp.maximum(err_norm, 1e-10), 0.2)
+    fac = jnp.clip(fac, ctrl.fac_min, ctrl.fac_max)
+    step_new = jnp.maximum(h_try * fac, ctrl.min_step)
+
+    accept_err = err_norm <= 1.0
+    force = ~accept_err & (step_new <= ctrl.min_step)
+    accept = advance & (accept_err | force)
+
+    # Carried step update (raytracer.cpp:1521-1539): accepted unclamped steps
+    # adopt the controller prediction; accepted clamped steps keep the old
+    # step; rejected lanes shrink.
+    new_step = jnp.where(
+        advance,
+        jnp.where(accept_err & clamped, step, step_new),
+        step,
+    )
+
+    thetadot_sign = jnp.where(accept, thetadot_sign_r, thetadot_sign)
+    signs = (
+        jnp.where(active, rdot_sign, st.rdot_sign),
+        jnp.where(active, thetadot_sign, st.thetadot_sign),
+        jnp.where(active, rwp, st.r_was_positive),
+        jnp.where(active, twp, st.theta_was_positive),
+    )
+    counted = active & (theta_flip | accept)
+    st = _commit(
+        st,
+        spin,
+        dest,
+        rlim,
+        horizon,
+        steplim,
+        ctrl.horizon_eps,
+        accept,
+        (t_new, r_new, th_new, phi_new),
+        (pt7, pr7, pth7, pph7),
+        signs,
+        (counted, r_flip),
+    )
+    return st, new_step
+
+
+def _seed_rk45_step(st: RayBatch, spin, horizon, ctrl):
+    """Initial adaptive step from the fixed-step heuristic (raytracer.cpp:1339-1359)."""
+    rates = geodesic_rates(st.r, st.theta, st.k, st.h, st.Q, st.rdot_sign, st.thetadot_sign, spin)
+    step = jnp.abs((st.r - horizon) / rates.pr) / ctrl.precision
+    theta_cap = jnp.abs(st.theta / rates.ptheta)
+    step = jnp.where(
+        (jnp.abs(rates.ptheta) > 0) & (step > theta_cap / ctrl.theta_precision),
+        theta_cap / ctrl.theta_precision,
+        step,
+    )
+    if ctrl.max_tstep > 0:
+        t_cap = jnp.abs(ctrl.max_tstep / rates.pt)
+        step = jnp.where((st.r < ctrl.maxtstep_rlim) & (step > t_cap), t_cap, step)
+    if ctrl.max_phistep > 0:
+        phi_cap = jnp.abs(ctrl.max_phistep / rates.pphi)
+        step = jnp.where(step > phi_cap, phi_cap, step)
+    return jnp.maximum(step, ctrl.min_step)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("method", "steplim", "ctrl", "max_iters", "unroll", "resume"),
+)
+def trace(
+    rays: RayBatch,
+    spin,
+    *,
+    method: str = "rk45",
+    dest: Destination = None,
+    r_max=1000.0,
+    steplim: int | None = None,
+    ctrl: StepControl = StepControl(),
+    boundary=None,
+    max_iters: int | None = None,
+    unroll: int = 1,
+    resume: bool = False,
+) -> RayBatch:
+    """Propagate every ray to its destination / the horizon / the radial limit.
+
+    Args:
+      rays: the ray batch (from a source constructor). Rays with steps < 0
+        are dead padding and are never advanced (pointsource.cpp:40-44).
+      spin: black-hole spin a (traced; gradients flow through it). Image
+        planes pass the *negated* spin here to implement time reversal.
+      method: "euler" | "rk4" | "rk45".
+      dest: termination surface (default ThetaLimit(pi/2), the equatorial
+        disc plane).
+      r_max: outer radial limit (RAY_STATUS_RLIM); <= 0 disables.
+      steplim: per-ray step budget; defaults to the reference's
+        RK45_STEPLIM / STEPLIM.
+      ctrl: static step-size tuning constants.
+      boundary: override the inner absorbing radius (e.g. a neutron-star
+        surface, raytracer.h:152-162); defaults to the event horizon.
+      max_iters: hard bound on lock-step iterations (defaults to steplim
+        plus 25% headroom for RK45 rejection retries).
+      unroll: body repetitions per while-loop iteration (TPU pipelining knob).
+    """
+    if dest is None:
+        dest = ThetaLimit(jnp.pi / 2)
+    if steplim is None:
+        steplim = RK45_STEPLIM if method == "rk45" else STEPLIM
+    if max_iters is None:
+        max_iters = steplim + steplim // 4 + 16
+
+    horizon = horizon_radius(spin) if boundary is None else boundary
+
+    if not resume:
+        # Reset the per-propagation sign gates (propagator locals in the
+        # reference, raytracer.cpp:137-138) and seed the adaptive step.
+        rays = rays.replace(
+            r_was_positive=jnp.zeros_like(rays.r_was_positive),
+            theta_was_positive=jnp.ones_like(rays.theta_was_positive),
+        )
+        if method == "rk45":
+            rays = rays.replace(dt=_seed_rk45_step(rays, spin, horizon, ctrl))
+
+    def cond(carry):
+        st, _, it = carry
+        return jnp.any(st.active) & (it < max_iters)
+
+    def body(carry):
+        st, step, it = carry
+        for _ in range(unroll):
+            active = st.active
+            if method == "rk45":
+                st, step = _rk45_body(st, spin, horizon, dest, r_max, steplim, ctrl, active, step)
+            else:
+                st, _ = _euler_rk4_body(
+                    st, spin, horizon, dest, r_max, steplim, ctrl, method, active
+                )
+        return st, step, it + unroll
+
+    final, step_f, _ = lax.while_loop(cond, body, (rays, rays.dt, jnp.asarray(0, jnp.int32)))
+    final = final.replace(dt=step_f)
+
+    # Stuck rays get their step count negated so downstream steps > 0 filters
+    # drop them (raytracer.cpp:336-337). Only freshly-stuck rays (positive
+    # count) are negated — a resumed batch may already carry negated ones.
+    stuck = ((final.status & RAY_STATUS_STEPLIM) != 0) & (final.steps > 0)
+    final = final.replace(steps=jnp.where(stuck, -final.steps, final.steps))
+    return final
+
+
+def trace_compacted(
+    rays: RayBatch,
+    spin,
+    *,
+    method: str = "rk45",
+    dest: Destination = None,
+    r_max=1000.0,
+    steplim: int | None = None,
+    ctrl: StepControl = StepControl(),
+    boundary=None,
+    phase_iters: int = 4096,
+    min_batch: int = 256,
+    unroll: int = 1,
+) -> RayBatch:
+    """trace() with phase compaction for heterogeneous ray lifetimes.
+
+    In a lock-step batch a handful of stuck photon-sphere rays (the
+    reference's RK45_STEPLIM pathology, docs/session_2026-03-01.md:105-137)
+    force every iteration to process the full batch. This driver runs the
+    full batch for ``phase_iters`` lock-step iterations, then repeatedly
+    gathers the still-active lanes into a power-of-two-sized sub-batch
+    (host-side index computation between jit calls; each distinct sub-batch
+    size compiles once) and resumes them, scattering results back. Stuck
+    rays then cost iterations over a tiny batch rather than the whole one.
+
+    Semantics are identical to trace(): per-ray step counts, statuses and
+    the adaptive dt are carried across phases.
+    """
+    import numpy as np
+
+    if steplim is None:
+        steplim = RK45_STEPLIM if method == "rk45" else STEPLIM
+    total_budget = steplim + steplim // 4 + 16
+
+    out = trace(
+        rays,
+        spin,
+        method=method,
+        dest=dest,
+        r_max=r_max,
+        steplim=steplim,
+        ctrl=ctrl,
+        boundary=boundary,
+        max_iters=min(phase_iters, total_budget),
+        unroll=unroll,
+        resume=False,
+    )
+    used = phase_iters
+
+    while used < total_budget:
+        active_idx = np.flatnonzero(np.asarray(out.active))
+        if active_idx.size == 0:
+            break
+        n_pad = max(min_batch, 1 << (int(active_idx.size - 1).bit_length()))
+        pad = n_pad - active_idx.size
+        idx = np.concatenate([active_idx, np.zeros(pad, dtype=active_idx.dtype)])
+        live = np.arange(n_pad) < active_idx.size
+
+        sub = jax.tree.map(lambda a: a[idx], out)
+        # padding lanes are dead clones of ray 0
+        sub = sub.replace(steps=jnp.where(jnp.asarray(live), sub.steps, -1))
+
+        this_phase = min(phase_iters * 4, total_budget - used)
+        sub = trace(
+            sub,
+            spin,
+            method=method,
+            dest=dest,
+            r_max=r_max,
+            steplim=steplim,
+            ctrl=ctrl,
+            boundary=boundary,
+            max_iters=this_phase,
+            unroll=unroll,
+            resume=True,
+        )
+        used += this_phase
+
+        src_idx = jnp.asarray(active_idx)
+        take = lambda a, b: a.at[src_idx].set(b[: active_idx.size])
+        out = jax.tree.map(take, out, sub)
+
+    return out

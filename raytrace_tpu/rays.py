@@ -58,6 +58,9 @@ class RayBatch:
     # positive (raytracer.cpp:137-138,196-220)
     r_was_positive: jnp.ndarray  # bool
     theta_was_positive: jnp.ndarray  # bool
+    # adaptive integrator step size (DOPRI5 controller state); carried on the
+    # ray so that tracing can be suspended and resumed (phase compaction)
+    dt: jnp.ndarray
     # diagnostics
     steps: jnp.ndarray  # int32
     status: jnp.ndarray  # int32 bitmask
@@ -114,6 +117,7 @@ def blank_batch(n: int, dtype=jnp.float64) -> RayBatch:
         thetadot_sign=ones,
         r_was_positive=jnp.zeros((n,), dtype=bool),
         theta_was_positive=jnp.ones((n,), dtype=bool),
+        dt=zeros,
         steps=izeros - 1,
         status=izeros,
         rdot_flips=izeros,

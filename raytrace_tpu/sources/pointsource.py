@@ -1,0 +1,102 @@
+"""Lamppost point source: a grid of rays over emission direction.
+
+Capability of the reference PointSource (src/raytracer/pointsource.cpp):
+every ray starts from one Boyer-Lindquist position; the launch direction is
+a 2-D grid over (cos alpha, beta) in the orthonormal rest frame of a source
+orbiting azimuthally at angular velocity V, so equal grid cells are equal
+solid angles and the ray set samples an isotropic emitter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from raytrace_tpu.geometry.kerr import constants_from_angles
+from raytrace_tpu.rays import RayBatch, blank_batch
+
+
+@dataclasses.dataclass(frozen=True)
+class PointSourceGrid:
+    """Static grid geometry (the batch shape must be known at trace time)."""
+
+    n_cosalpha: int
+    n_beta: int
+    dcosalpha: float
+    dbeta: float
+    cosalpha0: float
+    cosalphamax: float
+    beta0: float
+    betamax: float
+
+    @classmethod
+    def from_steps(cls, dcosalpha, dbeta, cosalpha0=-0.995, cosalphamax=0.995,
+                   beta0=-jnp.pi, betamax=jnp.pi):
+        # Grid-count convention of the reference ctor (pointsource.cpp:16-17):
+        # truncating int conversion of (range/step) + 1.
+        n_cosalpha = int((cosalphamax - cosalpha0) / dcosalpha) + 1
+        n_beta = int((betamax - beta0) / dbeta) + 1
+        return cls(n_cosalpha, n_beta, float(dcosalpha), float(dbeta),
+                   float(cosalpha0), float(cosalphamax), float(beta0), float(betamax))
+
+    @property
+    def n_rays(self) -> int:
+        return self.n_cosalpha * self.n_beta
+
+
+def point_source(
+    pos,
+    V,
+    spin,
+    grid: PointSourceGrid,
+    E=1.0,
+    dtype=jnp.float64,
+) -> RayBatch:
+    """Build the lamppost ray batch.
+
+    Args:
+      pos: (t, r, theta, phi) of the source.
+      V: angular velocity Omega = dphi/dt of the source frame (0 = static,
+         or pass keplerian_omega(r, spin) for an orbiting source).
+      spin: black-hole spin.
+      grid: direction grid. Rows at the top grid edge (cosalpha >=
+        cosalphamax or beta >= betamax) are dead padding with steps = -1,
+        exactly like the reference (pointsource.cpp:40-44), so histogram
+        denominators that count grid cells match.
+      E: emitted energy scale.
+    """
+    i = jnp.arange(grid.n_cosalpha)
+    j = jnp.arange(grid.n_beta)
+    cosalpha = (grid.cosalpha0 + i[:, None] * grid.dcosalpha).astype(dtype)
+    beta = (grid.beta0 + j[None, :] * grid.dbeta).astype(dtype)
+    cosalpha, beta = jnp.broadcast_arrays(cosalpha, beta)
+    cosalpha = cosalpha.reshape(-1)
+    beta = beta.reshape(-1)
+
+    dead = (cosalpha >= grid.cosalphamax) | (beta >= grid.betamax)
+    alpha = jnp.arccos(jnp.clip(cosalpha, -1.0, 1.0))
+
+    t0, r0, th0, ph0 = (jnp.asarray(p, dtype=dtype) for p in pos)
+    n = grid.n_rays
+    full = lambda v: jnp.full((n,), v, dtype=dtype)
+
+    r = full(1.0) * r0
+    theta = full(1.0) * th0
+    c = constants_from_angles(r, theta, alpha, beta, jnp.asarray(V, dtype=dtype), spin, E)
+
+    base = blank_batch(n, dtype)
+    return base.replace(
+        t=full(1.0) * t0,
+        r=r,
+        theta=theta,
+        phi=full(1.0) * ph0,
+        k=c.k,
+        h=c.h,
+        Q=c.Q,
+        rdot_sign=c.rdot_sign,
+        thetadot_sign=c.thetadot_sign,
+        steps=jnp.where(dead, -1, 0).astype(jnp.int32),
+        alpha=cosalpha,  # reference stores cos(alpha) in .alpha (pointsource.cpp:48)
+        beta=beta,
+    )
