@@ -25,6 +25,7 @@ from raytrace_tpu.geometry.disc import (
     rel_disc_area,
     plunge_velocity,
     integrate_disc_area,
+    integrate_disc_area_bins,
 )
 from raytrace_tpu.geometry.gramschmidt import gram_schmidt_tetrad
 
@@ -46,5 +47,6 @@ __all__ = [
     "rel_disc_area",
     "plunge_velocity",
     "integrate_disc_area",
+    "integrate_disc_area_bins",
     "gram_schmidt_tetrad",
 ]

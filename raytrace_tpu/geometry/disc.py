@@ -109,6 +109,37 @@ def plunge_disc_area(r, dr, dphi, a, r_plunge=None):
     return _parallelogram_area(r, dr, dphi, a, tet)
 
 
+def integrate_disc_area_bins(
+    r_lo, r_hi, a, force_keplerian=False, n_sub=50, dphi=0.1, logbin=True
+):
+    """Rest-frame areas of many [r_lo_i, r_hi_i) bins at once.
+
+    Vectorised twin of `integrate_disc_area` over a batch of bins: one
+    (n_bins, n_sub) evaluation instead of a Python loop of per-bin calls —
+    essential when dispatch latency matters (remote TPU backends).
+    """
+    r_lo = jnp.asarray(r_lo, dtype=jnp.result_type(r_lo, 1.0))
+    r_hi = jnp.asarray(r_hi, dtype=r_lo.dtype)
+    r_isco = isco_radius(a)
+    idx = jnp.arange(n_sub - 1)
+    if logbin:
+        ratio = jnp.exp(jnp.log(r_hi / r_lo) / (n_sub - 1))  # [n_bins]
+        r = r_lo[:, None] * ratio[:, None] ** idx[None, :]
+        dr = r * (ratio[:, None] - 1.0)
+    else:
+        dr_lin = (r_hi - r_lo) / (n_sub - 1)
+        r = r_lo[:, None] + idx[None, :] * dr_lin[:, None]
+        dr = jnp.broadcast_to(dr_lin[:, None], r.shape)
+
+    kep = rel_disc_area(r, dr, dphi, a)
+    if force_keplerian:
+        area = kep
+    else:
+        plunge = plunge_disc_area(r, dr, dphi, a)
+        area = jnp.where(r >= r_isco, kep, plunge)
+    return jnp.sum(jnp.where(area > 0, area, 0.0), axis=1)
+
+
 def integrate_disc_area(rmin, rmax, a, force_keplerian=False, n_sub=50, dphi=0.1, logbin=True):
     """Total rest-frame area of the disc between rmin and rmax.
 

@@ -1,0 +1,6 @@
+"""Output writers: column text and FITS."""
+
+from raytrace_tpu.io.text import TextOutput
+from raytrace_tpu.io.fits import FITSOutput
+
+__all__ = ["TextOutput", "FITSOutput"]

@@ -1,0 +1,17 @@
+"""Multi-chip SPMD over the ray batch (the workload's only parallel axis)."""
+
+from raytrace_tpu.parallel.sharding import (
+    make_ray_mesh,
+    pad_rays,
+    shard_rays,
+    sharded_trace,
+    sharded_emissivity_bins,
+)
+
+__all__ = [
+    "make_ray_mesh",
+    "pad_rays",
+    "shard_rays",
+    "sharded_trace",
+    "sharded_emissivity_bins",
+]

@@ -1,0 +1,148 @@
+"""Ray-axis data parallelism over a device mesh.
+
+The reference parallelises with a single-node OpenMP loop over rays
+(raytracer.cpp:104) and has no distributed backend (SURVEY.md §2.6). The
+TPU-native equivalent is pure data parallelism over a 1-D ``rays`` mesh
+axis: rays never communicate, so the only collectives are psums merging
+per-shard histogram/image partials — these ride ICI within a slice and DCN
+across slices, inserted here explicitly via shard_map.
+
+Multi-host runs initialise ``jax.distributed`` before calling in here; the
+mesh spans all addressable devices and every function below is
+host-agnostic SPMD.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.6 exposes shard_map at the top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from raytrace_tpu.ops.integrate import StepControl, trace
+from raytrace_tpu.ops.reductions import radial_bin_profile
+from raytrace_tpu.ops.redshift import apply_redshift, range_phi, redshift_start
+from raytrace_tpu.rays import RayBatch
+
+
+def make_ray_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the ray axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("rays",))
+
+
+def pad_rays(rays: RayBatch, multiple: int) -> RayBatch:
+    """Pad the batch with dead rays (steps = -1) to a multiple of the shard
+    count; dead rays are never traced and fall out of every reduction."""
+    n = rays.n_rays
+    rem = n % multiple
+    if rem == 0:
+        return rays
+    pad = multiple - rem
+
+    def pad_leaf(a):
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+        return jnp.pad(a, widths)
+
+    padded = jax.tree.map(pad_leaf, rays)
+    steps = padded.steps.at[n:].set(-1)
+    return padded.replace(steps=steps)
+
+
+def shard_rays(rays: RayBatch, mesh: Mesh) -> RayBatch:
+    """Place the batch with the ray axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P("rays"))
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), rays)
+
+
+def sharded_trace(
+    rays: RayBatch,
+    spin,
+    mesh: Mesh,
+    *,
+    method: str = "rk45",
+    dest=None,
+    r_max=1000.0,
+    steplim: int | None = None,
+    ctrl: StepControl = StepControl(),
+) -> RayBatch:
+    """trace() under shard_map: each device marches its ray shard
+    independently (embarrassingly parallel; zero collectives)."""
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("rays"), P()),
+        out_specs=P("rays"),
+        check_rep=False,
+    )
+    def run(r, s):
+        return trace(r, s, method=method, dest=dest, r_max=r_max, steplim=steplim, ctrl=ctrl)
+
+    return run(rays, spin)
+
+
+def sharded_emissivity_bins(
+    rays: RayBatch,
+    spin,
+    mesh: Mesh,
+    *,
+    V=0.0,
+    r_min,
+    dr,
+    n_r: int,
+    logbin_r: bool = True,
+    gamma=2.0,
+    n_primary=1.0,
+    method: str = "rk45",
+    r_max=1000.0,
+    steplim: int | None = None,
+    ctrl: StepControl = StepControl(),
+):
+    """Full sharded emissivity step: per-shard trace + redshift + local
+    radial binning, then a psum over the mesh merges the partial histograms
+    (replicated output). This is the framework's canonical multi-chip
+    "training step" shape: independent shard compute + ICI all-reduce."""
+    from raytrace_tpu.geometry import isco_radius
+    from raytrace_tpu.geometry.kerr import bl_to_cartesian
+
+    r_isco = isco_radius(spin)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("rays"), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def run(shard, s):
+        shard = redshift_start(shard, s, V)
+        out = trace(shard, s, method=method, r_max=r_max, steplim=steplim, ctrl=ctrl)
+        out = range_phi(out)
+        out = apply_redshift(out, s, V=-1.0)
+        _, _, z = bl_to_cartesian(out.r, out.theta, out.phi, s)
+        g = out.redshift
+        mask = out.ok & (z < 1e-2) & (g > 0) & (out.r >= r_isco)
+        counts, sums = radial_bin_profile(
+            out.r,
+            mask,
+            {"flux": 1.0 / (n_primary * g), "emis": 1.0 / g**gamma, "redshift": g, "time": out.t},
+            r_min,
+            dr,
+            n_r,
+            logbin_r,
+        )
+        merged = jax.lax.psum((counts, sums), "rays")
+        return merged
+
+    return run(rays, spin)
