@@ -84,7 +84,7 @@ def sharded_trace(
         mesh=mesh,
         in_specs=(P("rays"), P()),
         out_specs=P("rays"),
-        check_rep=False,
+        check_vma=False,
     )
     def run(r, s):
         return trace(r, s, method=method, dest=dest, r_max=r_max, steplim=steplim, ctrl=ctrl)
@@ -123,7 +123,7 @@ def sharded_emissivity_bins(
         mesh=mesh,
         in_specs=(P("rays"), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def run(shard, s):
         shard = redshift_start(shard, s, V)
