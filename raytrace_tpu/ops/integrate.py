@@ -482,7 +482,7 @@ def _seed_rk45_step(st: RayBatch, spin, horizon, ctrl):
 
 @partial(
     jax.jit,
-    static_argnames=("method", "steplim", "ctrl", "max_iters", "unroll", "resume"),
+    static_argnames=("method", "steplim", "ctrl", "max_iters", "unroll", "resume", "refine_crossing"),
 )
 def trace(
     rays: RayBatch,
@@ -497,6 +497,7 @@ def trace(
     max_iters: int | None = None,
     unroll: int = 1,
     resume: bool = False,
+    refine_crossing: bool = True,
 ) -> RayBatch:
     """Propagate every ray to its destination / the horizon / the radial limit.
 
@@ -561,7 +562,43 @@ def trace(
     # count) are negated — a resumed batch may already carry negated ones.
     stuck = ((final.status & RAY_STATUS_STEPLIM) != 0) & (final.steps > 0)
     final = final.replace(steps=jnp.where(stuck, -final.steps, final.steps))
+
+    if refine_crossing:
+        final = _refine_theta_crossing(final, dest, spin)
     return final
+
+
+def _refine_theta_crossing(st: RayBatch, dest, spin) -> RayBatch:
+    """Back-interpolate destination hits onto the theta_lim surface.
+
+    The last integrator step lands *past* the surface by up to its own step
+    size; for polar-angle surfaces a linear correction along the final
+    momentum removes that overshoot (position error drops from O(step) to
+    O(step^2)). This beats the reference's raw landing (it has no such
+    pass), which matters for finite-difference lensing Jacobians in the
+    weak field where steps are large. Only theta-surface destinations
+    qualify; others are returned unchanged.
+    """
+    theta_lim = getattr(dest, "theta_lim", None)
+    if theta_lim is None:
+        return st
+    lim = jnp.where(theta_lim > 0, theta_lim, -theta_lim)
+    hit = (st.status & RAY_STATUS_DEST) != 0
+    # momenta evaluated at the final position (the stored ones can lag by a
+    # stage for Euler/RK4)
+    pt, pr, pth, pph = momentum_from_consts(
+        st.r, st.theta, st.k, st.h, st.Q, st.rdot_sign, st.thetadot_sign, spin
+    )
+    safe_pth = jnp.where(pth == 0, 1.0, pth)
+    delta = (st.theta - lim) / safe_pth
+    ok = hit & (pth != 0) & (jnp.abs(delta) < 1.0)
+    apply = lambda q, dq: jnp.where(ok, q - dq * delta, q)
+    return st.replace(
+        t=apply(st.t, pt),
+        r=apply(st.r, pr),
+        theta=jnp.where(ok, lim, st.theta),
+        phi=apply(st.phi, pph),
+    )
 
 
 def trace_compacted(

@@ -91,10 +91,19 @@ def _plane_ray(x, y, D, incl, phi0, a_trace, dtype):
     pt = (-B + disc) / (2.0 * A)
     pt = jnp.where(pt < 0, (-B - disc) / (2.0 * A), pt)
 
-    # analytic constants of motion (imageplane.cpp:100-113; closed forms)
+    # analytic constants of motion (imageplane.cpp:100-113; closed forms).
+    # Rays with y = 0 start *exactly at their polar turning point*
+    # (thetadot_sq(theta_0) = l_theta^2 = 0 identically), where the
+    # integrator's turning-point sign gate degenerates to a rounding
+    # coin-flip — the unlucky sign marches the ray into the forbidden
+    # region and it spirals off over the pole (the reference has the same
+    # y = 0 knife edge). Regularise with a small polar impact parameter:
+    # it must beat the ~1e-14 catastrophic-cancellation noise in
+    # thetadot_sq(theta_0) = Q - (h cot - a k cos)(...), so 1e-4 r_g —
+    # still 10^3 x below any practical pixel scale.
     k = jnp.ones_like(x)
     h = -x * jnp.sin(incl)
-    ltheta = y
+    ltheta = jnp.where(y == 0, 1e-4, y)
     Q = ltheta * ltheta - (a_trace * jnp.cos(theta)) ** 2 + (h / jnp.tan(theta)) ** 2
 
     rdot_sign = -jnp.ones_like(x)
