@@ -198,10 +198,14 @@ def geodesic_rates(r, theta, k, h, Q, rdot_sign, thetadot_sign, a) -> GeodesicRa
     thetadot_sq = (Q + (k * a * cos_t + cot_scaled) * (k * a * cos_t - cot_scaled)) / (
         rhosq * rhosq
     )
-    ptheta = jnp.sqrt(jnp.abs(thetadot_sq)) * thetadot_sign
+    # sqrt(|x|) floored at a denormal-scale tiny: rays launched exactly at a
+    # turning point (sin(beta) = 0 lamppost rays, y = 0 image rays) have
+    # x = 0 identically, where d sqrt(|x|)/dx is infinite and poisons
+    # reverse-mode gradients; the floor changes the forward value by ~1e-150.
+    ptheta = jnp.sqrt(jnp.maximum(jnp.abs(thetadot_sq), 1e-300)) * thetadot_sign
 
     rdot_sq = (k * pt - h * pphi - rhosq * ptheta * ptheta) * delta / rhosq
-    pr = jnp.sqrt(jnp.abs(rdot_sq)) * rdot_sign
+    pr = jnp.sqrt(jnp.maximum(jnp.abs(rdot_sq), 1e-300)) * rdot_sign
 
     return GeodesicRates(pt, pr, ptheta, pphi, thetadot_sq, rdot_sq)
 
@@ -244,6 +248,32 @@ def constants_from_angles(r, theta, alpha, beta, V, a, E=1.0) -> PhotonConstants
     rdot = p3 * tet.er[1]
     thetadot = p2 * (-tet.etheta[2])  # e22 = -1/sqrt(rhosq) in the reference
 
+    return constants_from_rates(r, theta, tdot, rdot, thetadot, phidot, a)
+
+
+def constants_from_frame(r, theta, tet: Tetrad, vx, vy, vz, a, E=1.0) -> PhotonConstants:
+    """Constants of motion for a photon launched along the unit direction
+    (vx, vy, vz) in an arbitrary orthonormal frame.
+
+    The frame legs are ordered (et, e_phi, e_theta, e_r) with the
+    reference's *negative-theta* e2 orientation (the orientation
+    gram_schmidt_tetrad produces; negate orbit_tetrad's etheta before
+    passing). This generalises `constants_from_angles` to moving sources
+    (radial jets, plunging material, arbitrary 4-velocities) and to
+    HEALPix direction vectors (healpix_pointsource.cpp:11-109 capability).
+    """
+    comps = []
+    for mu in range(4):
+        comps.append(
+            E
+            * (
+                tet.et[mu]
+                + vx * tet.ephi[mu]
+                + vy * tet.etheta[mu]
+                + vz * tet.er[mu]
+            )
+        )
+    tdot, rdot, thetadot, phidot = comps
     return constants_from_rates(r, theta, tdot, rdot, thetadot, phidot, a)
 
 

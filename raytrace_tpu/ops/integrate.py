@@ -165,18 +165,20 @@ def _base_step_size(st, horizon, pt1, pr1, ptheta1, pphi1, rlim, ctrl: StepContr
     distance-to-horizon over radial speed, polar cap, coordinate-time cap
     inside maxtstep_rlim, azimuthal cap, MIN_STEP floor, rlim overshoot clamp.
     """
-    step = jnp.abs((st.r - horizon) / pr1) / ctrl.precision
-    theta_cap = jnp.abs(st.theta / ptheta1)
+    # zero rates only occur exactly at turning points; guard the divisions
+    # so their (discarded) branches cannot poison reverse-mode gradients
+    step = jnp.abs(_safe_div(st.r - horizon, pr1)) / ctrl.precision
+    theta_cap = jnp.abs(_safe_div(st.theta, ptheta1))
     step = jnp.where(step > theta_cap / ctrl.precision, theta_cap / ctrl.theta_precision, step)
     if ctrl.max_tstep > 0:
-        t_cap = jnp.abs(ctrl.max_tstep / pt1)
+        t_cap = jnp.abs(_safe_div(ctrl.max_tstep, pt1))
         step = jnp.where((st.r < ctrl.maxtstep_rlim) & (step > t_cap), t_cap, step)
     if ctrl.max_phistep > 0:
-        phi_cap = jnp.abs(ctrl.max_phistep / pphi1)
+        phi_cap = jnp.abs(_safe_div(ctrl.max_phistep, pphi1))
         step = jnp.where(step > phi_cap, phi_cap, step)
     step = jnp.maximum(step, ctrl.min_step)
     step = jnp.where(
-        (rlim > 0) & (st.r + pr1 * step > rlim), jnp.abs((rlim - st.r) / pr1), step
+        (rlim > 0) & (st.r + pr1 * step > rlim), jnp.abs(_safe_div(rlim - st.r, pr1)), step
     )
     return step
 
@@ -257,7 +259,37 @@ def _commit(st: RayBatch, spin, dest, rlim, horizon, steplim, horizon_eps, commi
     )
 
 
+def _safe_div(num, den, tiny=1e-300):
+    """num / den with the denominator bounded away from exact zero."""
+    safe = jnp.where(jnp.abs(den) < tiny, jnp.where(den < 0, -tiny, tiny), den)
+    return num / safe
+
+
+def _safe_eval_state(st: RayBatch, active):
+    """Give inactive lanes a benign evaluation point.
+
+    Frozen and dead-padding lanes still flow through every rate evaluation
+    each iteration; at degenerate positions (r = 0 padding, near-horizon
+    endpoints) those produce inf/NaN which the masked `where` commits would
+    discard in the forward pass but which poison reverse-mode gradients
+    (0 * NaN). Evaluating them at a harmless point changes nothing visible
+    — their results are never committed — and keeps the VJP finite.
+    """
+    one = jnp.ones_like(st.k)
+    return st.replace(
+        r=jnp.where(active, st.r, 10.0),
+        theta=jnp.where(active, st.theta, 1.0),
+        # padding rays carry k = h = Q = 0, for which every sqrt in the rate
+        # evaluation sits exactly at its branch point (infinite VJP); unit
+        # energy is harmless since nothing they produce is committed
+        k=jnp.where(active, st.k, one),
+        h=jnp.where(active, st.h, 0.0 * one),
+        Q=jnp.where(active, st.Q, one),
+    )
+
+
 def _euler_rk4_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, method, active):
+    st_eval = _safe_eval_state(st, active)
     (
         theta_flip,
         r_flip,
@@ -269,41 +301,41 @@ def _euler_rk4_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, meth
         pr1,
         ptheta1,
         pphi1,
-    ) = _k1_stage(st, spin)
+    ) = _k1_stage(st_eval, spin)
 
     advance = active & ~theta_flip
-    status = _nonphysical_status(st, spin, pt1, pphi1, advance)
+    status = _nonphysical_status(st_eval, spin, pt1, pphi1, advance)
     st = st.replace(status=status)
 
-    step = _base_step_size(st, horizon, pt1, pr1, ptheta1, pphi1, rlim, ctrl)
+    step = _base_step_size(st_eval, horizon, pt1, pr1, ptheta1, pphi1, rlim, ctrl)
     # The plain thetalim mode additionally clamps the final step onto the disc
     # plane (raytracer.cpp:243); destination mode does not (RK4-dest variant,
     # raytracer.cpp:1036-1254).
     if isinstance(dest, ThetaLimit):
-        lim = dest.step_limit(st.r, st.theta, st.phi, pr1, ptheta1, pphi1)
+        lim = dest.step_limit(st_eval.r, st_eval.theta, st_eval.phi, pr1, ptheta1, pphi1)
         step = jnp.minimum(step, lim)
 
     if method == "euler":
         t_n = st.t + pt1 * step
-        r_n = st.r + pr1 * step
-        th_raw = st.theta + ptheta1 * step
+        r_n = st_eval.r + pr1 * step
+        th_raw = st_eval.theta + ptheta1 * step
         ph_n = st.phi + pphi1 * step
         mom = (pt1, pr1, ptheta1, pphi1)
     else:  # rk4
         half = step / 2
         pt2, pr2, pth2, pph2 = momentum_from_consts(
-            st.r + half * pr1, st.theta + half * ptheta1, st.k, st.h, st.Q, rdot_sign, thetadot_sign, spin
+            st_eval.r + half * pr1, st_eval.theta + half * ptheta1, st.k, st.h, st.Q, rdot_sign, thetadot_sign, spin
         )
         pt3, pr3, pth3, pph3 = momentum_from_consts(
-            st.r + half * pr2, st.theta + half * pth2, st.k, st.h, st.Q, rdot_sign, thetadot_sign, spin
+            st_eval.r + half * pr2, st_eval.theta + half * pth2, st.k, st.h, st.Q, rdot_sign, thetadot_sign, spin
         )
         pt4, pr4, pth4, pph4 = momentum_from_consts(
-            st.r + step * pr3, st.theta + step * pth3, st.k, st.h, st.Q, rdot_sign, thetadot_sign, spin
+            st_eval.r + step * pr3, st_eval.theta + step * pth3, st.k, st.h, st.Q, rdot_sign, thetadot_sign, spin
         )
         w = step / 6
         t_n = st.t + w * (pt1 + 2 * pt2 + 2 * pt3 + pt4)
-        r_n = st.r + w * (pr1 + 2 * pr2 + 2 * pr3 + pr4)
-        th_raw = st.theta + w * (ptheta1 + 2 * pth2 + 2 * pth3 + pth4)
+        r_n = st_eval.r + w * (pr1 + 2 * pr2 + 2 * pr3 + pr4)
+        th_raw = st_eval.theta + w * (ptheta1 + 2 * pth2 + 2 * pth3 + pth4)
         ph_n = st.phi + w * (pphi1 + 2 * pph2 + 2 * pph3 + pph4)
         mom = (pt4, pr4, pth4, pph4)
 
@@ -335,6 +367,7 @@ def _euler_rk4_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, meth
 
 
 def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active, step):
+    st_eval = _safe_eval_state(st, active)
     (
         theta_flip,
         r_flip,
@@ -346,22 +379,22 @@ def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active, s
         pr1,
         ptheta1,
         pphi1,
-    ) = _k1_stage(st, spin)
+    ) = _k1_stage(st_eval, spin)
 
     advance = active & ~theta_flip
-    st = st.replace(status=_nonphysical_status(st, spin, pt1, pphi1, advance))
+    st = st.replace(status=_nonphysical_status(st_eval, spin, pt1, pphi1, advance))
 
     # Horizon step-cap: DOPRI5's large negative tableau coefficients can push
     # intermediate stages inside the horizon where the error estimator cannot
     # see the corruption; cap the carried step by the same distance-to-horizon
     # heuristic (plus phi/t caps) every iteration (raytracer.cpp:1412-1434).
-    step_max = jnp.abs((st.r - horizon) / pr1) / ctrl.precision
+    step_max = jnp.abs(_safe_div(st_eval.r - horizon, pr1)) / ctrl.precision
     if ctrl.max_phistep > 0:
-        step_max = jnp.minimum(step_max, jnp.abs(ctrl.max_phistep / pphi1))
+        step_max = jnp.minimum(step_max, jnp.abs(_safe_div(ctrl.max_phistep, pphi1)))
     if ctrl.max_tstep > 0:
         step_max = jnp.where(
-            st.r < ctrl.maxtstep_rlim,
-            jnp.minimum(step_max, jnp.abs(ctrl.max_tstep / pt1)),
+            st_eval.r < ctrl.maxtstep_rlim,
+            jnp.minimum(step_max, jnp.abs(_safe_div(ctrl.max_tstep, pt1))),
             step_max,
         )
     step = jnp.where(advance & (step > step_max), step_max, step)
@@ -369,7 +402,7 @@ def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active, s
     # Clamp the trial step so the destination surface is not overshot; a
     # clamped accepted step does not update the running step size
     # (raytracer.cpp:1442-1453, 1752-1755).
-    lim = dest.step_limit(st.r, st.theta, st.phi, pr1, ptheta1, pphi1)
+    lim = dest.step_limit(st_eval.r, st_eval.theta, st_eval.phi, pr1, ptheta1, pphi1)
     clamped = lim < step
     h_try = jnp.where(clamped, lim, step)
 
@@ -379,7 +412,7 @@ def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active, s
     )
 
     def at(dr, dth):
-        return stage(st.r + h_try * dr, st.theta + h_try * dth)
+        return stage(st_eval.r + h_try * dr, st_eval.theta + h_try * dth)
 
     pt2, pr2, pth2, pph2 = at(_A21 * pr1, _A21 * ptheta1)
     pt3, pr3, pth3, pph3 = at(_A31 * pr1 + _A32 * pr2, _A31 * ptheta1 + _A32 * pth2)
@@ -398,8 +431,8 @@ def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active, s
 
     # 5th-order solution (b2 = 0): positions only, then reflect, then the
     # FSAL stage k7 at the new point for the error estimate.
-    r_new = st.r + h_try * (_B1 * pr1 + _B3 * pr3 + _B4 * pr4 + _B5 * pr5 + _B6 * pr6)
-    th_new_raw = st.theta + h_try * (
+    r_new = st_eval.r + h_try * (_B1 * pr1 + _B3 * pr3 + _B4 * pr4 + _B5 * pr5 + _B6 * pr6)
+    th_new_raw = st_eval.theta + h_try * (
         _B1 * ptheta1 + _B3 * pth3 + _B4 * pth4 + _B5 * pth5 + _B6 * pth6
     )
     t_new = st.t + h_try * (_B1 * pt1 + _B3 * pt3 + _B4 * pt4 + _B5 * pt5 + _B6 * pt6)
@@ -415,8 +448,8 @@ def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active, s
     err_th = h_try * (
         _E1 * ptheta1 + _E3 * pth3 + _E4 * pth4 + _E5 * pth5 + _E6 * pth6 + _E7 * pth7
     )
-    sc_r = ctrl.rk45_tol * (1.0 + jnp.maximum(jnp.abs(st.r), jnp.abs(r_new)))
-    sc_th = ctrl.rk45_tol * (1.0 + jnp.maximum(jnp.abs(st.theta), jnp.abs(th_new)))
+    sc_r = ctrl.rk45_tol * (1.0 + jnp.maximum(jnp.abs(st_eval.r), jnp.abs(r_new)))
+    sc_th = ctrl.rk45_tol * (1.0 + jnp.maximum(jnp.abs(st_eval.theta), jnp.abs(th_new)))
     err_norm = jnp.sqrt(0.5 * ((err_r / sc_r) ** 2 + (err_th / sc_th) ** 2))
 
     fac = ctrl.safety * jnp.power(1.0 / jnp.maximum(err_norm, 1e-10), 0.2)

@@ -16,7 +16,30 @@ import jax.numpy as jnp
 
 from raytrace_tpu.destinations import Destination
 from raytrace_tpu.geometry.kerr import metric_coeffs, metric_dot, momentum_from_consts
-from raytrace_tpu.rays import RayBatch
+from raytrace_tpu.rays import RAY_STATUS_DEST, RAY_STATUS_RLIM, RayBatch
+
+
+def _sanitize(rays: RayBatch) -> RayBatch:
+    """Evaluate redshift quantities at a benign point for rays where the
+    result is meaningless anyway (dead padding at r = 0, horizon captures
+    where the orbiting-observer tetrad is singular, stuck rays).
+
+    Keeps both forward values and reverse-mode gradients finite; every app
+    filter already excludes these rays (steps > 0 plus either a destination
+    hit or a physically sensible position), and r_horizon < r_isco for all
+    spins so a sanitized horizon ray can never sneak into a disc bin.
+    """
+    meaningful = (rays.steps > 0) & (
+        ((rays.status & (RAY_STATUS_DEST | RAY_STATUS_RLIM)) != 0)
+    ) | (rays.steps == 0)  # untraced batches keep their (valid) source state
+    one = jnp.ones_like(rays.k)
+    return rays.replace(
+        r=jnp.where(meaningful, rays.r, 10.0),
+        theta=jnp.where(meaningful, rays.theta, 1.0),
+        k=jnp.where(meaningful, rays.k, one),
+        h=jnp.where(meaningful, rays.h, 0.0 * one),
+        Q=jnp.where(meaningful, rays.Q, one),
+    )
 
 
 def _orbit_et(r, theta, a, V):
@@ -62,9 +85,10 @@ def redshift_start(
     (-spin) while the momentum derivation keeps the trace spin.
     """
     a = -spin if reverse else spin
-    Vr = _resolve_V(V, a, rays.r, rays.theta, projradius)
-    g, et = _orbit_et(rays.r, rays.theta, a, Vr)
-    emit = _energy_in_frame(rays, spin, et, g, reverse)
+    rs = _sanitize(rays)
+    Vr = _resolve_V(V, a, rs.r, rs.theta, projradius)
+    g, et = _orbit_et(rs.r, rs.theta, a, Vr)
+    emit = _energy_in_frame(rs, spin, et, g, reverse)
     return rays.replace(emit=emit)
 
 
@@ -83,22 +107,23 @@ def ray_redshift(
     the local coordinate speed of light (raytracer.cpp:528-535).
     """
     a = -spin if reverse else spin
+    rs = _sanitize(rays)
     if motion == 0:
-        Vr = _resolve_V(V, a, rays.r, rays.theta, projradius)
-        g, et = _orbit_et(rays.r, rays.theta, a, Vr)
+        Vr = _resolve_V(V, a, rs.r, rs.theta, projradius)
+        g, et = _orbit_et(rs.r, rs.theta, a, Vr)
     else:
-        g = metric_coeffs(rays.r, rays.theta, a)
-        V = jnp.asarray(V, dtype=jnp.result_type(rays.r))
-        # physical-spin form of the reference's (r^2 - 2r + 2a)/(r^2 + a^2)
-        # local light speed scaling (raytracer.cpp:531 uses the trace spin)
-        spd = (rays.r * rays.r - 2.0 * rays.r + spin + spin) / (
-            rays.r * rays.r + spin * spin
+        g = metric_coeffs(rs.r, rs.theta, a)
+        V = jnp.asarray(V, dtype=jnp.result_type(rs.r))
+        # the reference scales |V| by the local coordinate light speed using
+        # the trace spin (raytracer.cpp:531)
+        spd = (rs.r * rs.r - 2.0 * rs.r + spin + spin) / (
+            rs.r * rs.r + spin * spin
         )
         Vr = jnp.where(V < 0, jnp.abs(V) * spd, V)
         ut = 1.0 / jnp.sqrt(g.g_tt + g.g_rr * Vr * Vr)
         zero = jnp.zeros_like(ut)
         et = (ut, Vr * ut, zero, zero)
-    recv = _energy_in_frame(rays, spin, et, g, reverse)
+    recv = _energy_in_frame(rs, spin, et, g, reverse)
     return jnp.where(reverse, recv / rays.emit, rays.emit / recv)
 
 
@@ -111,9 +136,10 @@ def ray_redshift_dest(rays: RayBatch, spin, dest: Destination, reverse: bool = F
     the Kerr time-reversal symmetry (t -> -t, phi -> -phi <=> a -> -a) with
     the reversed spatial momentum; replicated faithfully.
     """
-    et = dest.four_velocity(rays.r, rays.theta, rays.phi, spin)
-    g = metric_coeffs(rays.r, rays.theta, spin)
-    recv = _energy_in_frame(rays, spin, et, g, reverse)
+    rs = _sanitize(rays)
+    et = dest.four_velocity(rs.r, rs.theta, rs.phi, spin)
+    g = metric_coeffs(rs.r, rs.theta, spin)
+    recv = _energy_in_frame(rs, spin, et, g, reverse)
     return jnp.where(reverse, recv / rays.emit, rays.emit / recv)
 
 

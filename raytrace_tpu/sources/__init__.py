@@ -3,6 +3,12 @@ positions, momenta and constants of motion."""
 
 from raytrace_tpu.sources.pointsource import point_source, PointSourceGrid
 from raytrace_tpu.sources.imageplane import image_plane, image_plane_bundles, ImagePlaneGrid
+from raytrace_tpu.sources.moving import (
+    jet_point_source,
+    point_source_vel,
+    radial_four_velocity,
+)
+from raytrace_tpu.sources.healpix_source import healpix_point_source
 
 __all__ = [
     "point_source",
@@ -10,4 +16,8 @@ __all__ = [
     "image_plane",
     "image_plane_bundles",
     "ImagePlaneGrid",
+    "jet_point_source",
+    "point_source_vel",
+    "radial_four_velocity",
+    "healpix_point_source",
 ]
