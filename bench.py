@@ -41,15 +41,28 @@ def main():
     )
     s = jnp.asarray(spin, dtype)
 
+    # 30k steps covers every well-behaved RK4 ray (the reference measured a
+    # 27,154-step max on this workload, docs/session_2026-03-01.md) while
+    # bounding the stuck photon-sphere tail.
     steplim = 30_000
-    kw = dict(method="rk4", r_max=1000.0, steplim=steplim, phase_iters=2048)
 
-    # warm-up: compile every phase shape
-    out = trace_compacted(rays, s, **kw)
+    if on_tpu:
+        # Pallas kernel: each (8,128) ray block marches to completion in
+        # VMEM — one HBM load/store per ray for the whole propagation.
+        from raytrace_tpu.ops.pallas_kernel import trace_pallas
+
+        run = lambda: trace_pallas(rays, s, method="rk4", r_max=1000.0, steplim=steplim)
+    else:
+        run = lambda: trace_compacted(
+            rays, s, method="rk4", r_max=1000.0, steplim=steplim, phase_iters=2048
+        )
+
+    # warm-up / compile
+    out = run()
     _ = float(out.r.sum())
 
     t0 = time.time()
-    out = trace_compacted(rays, s, **kw)
+    out = run()
     _ = float(out.r.sum())
     wall = time.time() - t0
 

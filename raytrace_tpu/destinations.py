@@ -73,11 +73,13 @@ class ThetaLimit(Destination):
 
     def step_limit(self, r, theta, phi, pr, ptheta, pphi):
         tl = self.theta_lim
+        one = jnp.ones_like(ptheta)
+        inf = jnp.full_like(ptheta, _INF)
         up = (tl > 0) & (ptheta > 0) & (theta < tl)
         down = (tl < 0) & (ptheta < 0) & (theta > -tl)
-        lim_up = (tl - theta) / jnp.where(ptheta == 0, 1.0, ptheta)
-        lim_down = (-tl - theta) / jnp.where(ptheta == 0, 1.0, ptheta)
-        return jnp.where(up, lim_up, jnp.where(down, lim_down, _INF))
+        lim_up = (tl - theta) / jnp.where(ptheta == 0, one, ptheta)
+        lim_down = (-tl - theta) / jnp.where(ptheta == 0, one, ptheta)
+        return jnp.where(up, lim_up, jnp.where(down, lim_down, inf))
 
 
 # The reference exposes FlatDiscDestination(theta_lim) with identical
@@ -112,13 +114,15 @@ class DiscWithISCO(Destination):
 
     def step_limit(self, r, theta, phi, pr, ptheta, pphi):
         tl = self.theta_lim
+        one = jnp.ones_like(ptheta)
+        inf = jnp.full_like(ptheta, _INF)
         applicable = self._in_annulus(r)
         up = (tl > 0) & (ptheta > 0) & (theta < tl)
         down = (tl < 0) & (ptheta < 0) & (theta > -tl)
-        lim_up = (tl - theta) / jnp.where(ptheta == 0, 1.0, ptheta)
-        lim_down = (-tl - theta) / jnp.where(ptheta == 0, 1.0, ptheta)
-        lim = jnp.where(up, lim_up, jnp.where(down, lim_down, _INF))
-        return jnp.where(applicable, lim, _INF)
+        lim_up = (tl - theta) / jnp.where(ptheta == 0, one, ptheta)
+        lim_down = (-tl - theta) / jnp.where(ptheta == 0, one, ptheta)
+        lim = jnp.where(up, lim_up, jnp.where(down, lim_down, inf))
+        return jnp.where(applicable, lim, inf)
 
 
 @struct.dataclass
@@ -172,8 +176,8 @@ class SphericalShell(Destination):
 
     def step_limit(self, r, theta, phi, pr, ptheta, pphi):
         out = (pr > 0) & (r < self.r_shell)
-        lim = (self.r_shell - r) / jnp.where(pr == 0, 1.0, pr)
-        return jnp.where(out, lim, _INF)
+        lim = (self.r_shell - r) / jnp.where(pr == 0, jnp.ones_like(pr), pr)
+        return jnp.where(out, lim, jnp.full_like(pr, _INF))
 
 
 @struct.dataclass

@@ -198,14 +198,17 @@ def geodesic_rates(r, theta, k, h, Q, rdot_sign, thetadot_sign, a) -> GeodesicRa
     thetadot_sq = (Q + (k * a * cos_t + cot_scaled) * (k * a * cos_t - cot_scaled)) / (
         rhosq * rhosq
     )
-    # sqrt(|x|) floored at a denormal-scale tiny: rays launched exactly at a
-    # turning point (sin(beta) = 0 lamppost rays, y = 0 image rays) have
+    # sqrt(|x|) floored at the dtype's smallest normal: rays launched exactly
+    # at a turning point (sin(beta) = 0 lamppost rays, y = 0 image rays) have
     # x = 0 identically, where d sqrt(|x|)/dx is infinite and poisons
-    # reverse-mode gradients; the floor changes the forward value by ~1e-150.
-    ptheta = jnp.sqrt(jnp.maximum(jnp.abs(thetadot_sq), 1e-300)) * thetadot_sign
+    # reverse-mode gradients; the floor changes the forward value by
+    # sqrt(tiny), far below any physical scale.
+    tiny = jnp.asarray(jnp.finfo(jnp.result_type(thetadot_sq)).tiny,
+                       jnp.result_type(thetadot_sq))
+    ptheta = jnp.sqrt(jnp.maximum(jnp.abs(thetadot_sq), tiny)) * thetadot_sign
 
     rdot_sq = (k * pt - h * pphi - rhosq * ptheta * ptheta) * delta / rhosq
-    pr = jnp.sqrt(jnp.maximum(jnp.abs(rdot_sq), 1e-300)) * rdot_sign
+    pr = jnp.sqrt(jnp.maximum(jnp.abs(rdot_sq), tiny)) * rdot_sign
 
     return GeodesicRates(pt, pr, ptheta, pphi, thetadot_sq, rdot_sq)
 

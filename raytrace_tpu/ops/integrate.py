@@ -126,7 +126,8 @@ def _k1_stage(st: RayBatch, spin):
 
     r_flip = (rates.rdot_sq <= 0) & st.r_was_positive & ~theta_flip
     rdot_sign = jnp.where(r_flip, -st.rdot_sign, st.rdot_sign)
-    r_was_positive = jnp.where(theta_flip, st.r_was_positive, rates.rdot_sq > 0)
+    # boolean select via logic ops (Mosaic cannot lower select_n on i1)
+    r_was_positive = (theta_flip & st.r_was_positive) | (~theta_flip & (rates.rdot_sq > 0))
 
     # pr is taken with the *new* radial sign (the flip happens before the
     # square root, raytracer.cpp:211-222); ptheta keeps the old sign (flip
@@ -155,8 +156,8 @@ def _nonphysical_status(st, spin, pt1, pphi1, active):
         2.0 * spin * st.r * sin_t * sin_t / rhosq
     ) * pphi1
     status = st.status
-    status = status | jnp.where(active & (pt1 <= 0), RAY_STATUS_ERGO, 0)
-    status = status | jnp.where(active & (killing < 0), RAY_STATUS_NEG_ENERGY, 0)
+    status = status | _flag(active & (pt1 <= 0), RAY_STATUS_ERGO)
+    status = status | _flag(active & (killing < 0), RAY_STATUS_NEG_ENERGY)
     return status
 
 
@@ -228,16 +229,16 @@ def _commit(st: RayBatch, spin, dest, rlim, horizon, steplim, horizon_eps, commi
     hit_rlim = commit_mask & ~hit_horizon & (rlim > 0) & (r >= rlim)
     hit_dest = commit_mask & ~hit_horizon & ~hit_rlim & dest.reached(r, theta, phi, prev_theta)
     status = st.status
-    status = status | jnp.where(hit_horizon, RAY_STATUS_HORIZON, 0)
-    status = status | jnp.where(hit_rlim, RAY_STATUS_RLIM, 0)
-    status = status | jnp.where(hit_dest, RAY_STATUS_DEST, 0)
+    status = status | _flag(hit_horizon, RAY_STATUS_HORIZON)
+    status = status | _flag(hit_rlim, RAY_STATUS_RLIM)
+    status = status | _flag(hit_dest, RAY_STATUS_DEST)
 
     # Stuck rays: when the per-ray step budget is exhausted, flag and stop.
     active_after = (steps >= 0) & (
         (status & (RAY_STATUS_DEST | RAY_STATUS_HORIZON | RAY_STATUS_RLIM)) == 0
     )
     stuck = active_after & (steps >= steplim)
-    status = status | jnp.where(stuck, RAY_STATUS_STEPLIM, 0)
+    status = status | _flag(stuck, RAY_STATUS_STEPLIM)
 
     return st.replace(
         t=t,
@@ -259,9 +260,22 @@ def _commit(st: RayBatch, spin, dest, rlim, horizon, steplim, horizon_eps, commi
     )
 
 
-def _safe_div(num, den, tiny=1e-300):
-    """num / den with the denominator bounded away from exact zero."""
-    safe = jnp.where(jnp.abs(den) < tiny, jnp.where(den < 0, -tiny, tiny), den)
+def _flag(mask, flag):
+    """Status-bit contribution as int32 (a bare Python int in jnp.where
+    becomes int64 under x64, which Mosaic cannot lower)."""
+    return jnp.where(mask, jnp.int32(flag), jnp.int32(0))
+
+
+def _safe_div(num, den):
+    """num / den with the denominator bounded away from exact zero.
+
+    The bound is the dtype's smallest normal so it never changes a nonzero
+    denominator; both branches are cast to den's dtype (a bare Python-float
+    jnp.where would weak-promote the whole expression to f64 under x64 —
+    breaking the f32 Pallas path).
+    """
+    t = jnp.asarray(jnp.finfo(den.dtype).tiny, den.dtype)
+    safe = jnp.where(jnp.abs(den) < t, jnp.where(den < 0, -t, t), den)
     return num / safe
 
 
@@ -277,8 +291,8 @@ def _safe_eval_state(st: RayBatch, active):
     """
     one = jnp.ones_like(st.k)
     return st.replace(
-        r=jnp.where(active, st.r, 10.0),
-        theta=jnp.where(active, st.theta, 1.0),
+        r=jnp.where(active, st.r, 10.0 * one),
+        theta=jnp.where(active, st.theta, 1.0 * one),
         # padding rays carry k = h = Q = 0, for which every sqrt in the rate
         # evaluation sits exactly at its branch point (infinite VJP); unit
         # energy is harmless since nothing they produce is committed
@@ -347,8 +361,8 @@ def _euler_rk4_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, meth
     signs = (
         jnp.where(active, rdot_sign, st.rdot_sign),
         jnp.where(active, thetadot_sign, st.thetadot_sign),
-        jnp.where(active, rwp, st.r_was_positive),
-        jnp.where(active, twp, st.theta_was_positive),
+        (active & rwp) | (~active & st.r_was_positive),
+        (active & twp) | (~active & st.theta_was_positive),
     )
     return _commit(
         st,
@@ -473,8 +487,8 @@ def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active, s
     signs = (
         jnp.where(active, rdot_sign, st.rdot_sign),
         jnp.where(active, thetadot_sign, st.thetadot_sign),
-        jnp.where(active, rwp, st.r_was_positive),
-        jnp.where(active, twp, st.theta_was_positive),
+        (active & rwp) | (~active & st.r_was_positive),
+        (active & twp) | (~active & st.theta_was_positive),
     )
     counted = active & (theta_flip | accept)
     st = _commit(

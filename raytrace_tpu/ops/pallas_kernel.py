@@ -1,0 +1,279 @@
+"""Pallas TPU kernel for the geodesic march: the speed-of-light path.
+
+The XLA while-loop integrator streams the full ~20-array ray state through
+HBM on every lock-step iteration. This kernel instead marches each block of
+rays to completion *inside* one pallas_call: the block's state lives in
+VMEM for the whole propagation, the per-step math runs on the VPU, and HBM
+sees exactly one load and one store per ray. Blocks are (8, 128) = 1024
+rays — the f32 tile — and the grid walks the blocks; different blocks
+retire after different iteration counts, so the long tail of
+photon-sphere-orbiting rays only costs iterations for its own block.
+
+The step math is the same `_euler_rk4_body` used by the reference-faithful
+XLA path (the helpers are pure jnp and trace identically inside the
+kernel), so the two paths produce bit-identical f32 results — tested in
+tests/test_pallas.py.
+
+f32 only (TPU native); the f64 accuracy story lives on the XLA/CPU path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytrace_tpu.destinations import DiscWithISCO, ThetaLimit
+from raytrace_tpu.geometry.kerr import horizon_radius
+from raytrace_tpu.ops.integrate import StepControl, _euler_rk4_body, _rk45_body, _seed_rk45_step
+from raytrace_tpu.rays import RAY_STATUS_STEPLIM, RayBatch
+
+_BLOCK = (8, 128)
+_BLOCK_N = _BLOCK[0] * _BLOCK[1]
+
+# RayBatch fields marched by the kernel, in a fixed order. Sign/gate/bool
+# fields travel as f32/int32 to keep every ref a (8,128) tile.
+_F_FIELDS = (
+    "t", "r", "theta", "phi", "pt", "pr", "ptheta", "pphi",
+    "k", "h", "Q", "rdot_sign", "thetadot_sign", "dt", "emit",
+)
+_I_FIELDS = ("steps", "status", "rdot_flips", "equatorial_crossings")
+_B_FIELDS = ("r_was_positive", "theta_was_positive")
+
+
+def _make_kernel(method, dest_kind, steplim, max_iters, ctrl: StepControl):
+    n_f, n_i, n_b = len(_F_FIELDS), len(_I_FIELDS), len(_B_FIELDS)
+
+    def kernel(scalars_ref, *refs):
+        spin = scalars_ref[0]
+        r_max = scalars_ref[1]
+        horizon = scalars_ref[2]
+        p0 = scalars_ref[3]  # theta_lim | r_isco
+        p1 = scalars_ref[4]  # unused    | r_out
+
+        n_total = n_f + n_i + n_b
+        in_refs = refs[:n_total]
+        out_refs = refs[n_total:]
+
+        if dest_kind == "theta":
+            dest = ThetaLimit(p0)
+        else:
+            dest = DiscWithISCO(r_isco=p0, r_out=p1)
+
+        fields = {}
+        for idx, name in enumerate(_F_FIELDS):
+            fields[name] = in_refs[idx][:]
+        for idx, name in enumerate(_I_FIELDS):
+            fields[name] = in_refs[n_f + idx][:]
+        for idx, name in enumerate(_B_FIELDS):
+            # gates stay int32 in the while carry: Mosaic cannot legalize
+            # i1 vectors through scf.yield
+            fields[name] = in_refs[n_f + n_i + idx][:]
+        fields["alpha"] = jnp.zeros_like(fields["t"])
+        fields["beta"] = jnp.zeros_like(fields["t"])
+        fields["redshift"] = jnp.ones_like(fields["t"])
+        st0 = RayBatch(**fields)
+
+        def to_bool(st):
+            return st.replace(
+                **{nm: getattr(st, nm) != 0 for nm in _B_FIELDS}
+            )
+
+        def to_int(st):
+            return st.replace(
+                **{nm: getattr(st, nm).astype(jnp.int32) for nm in _B_FIELDS}
+            )
+
+        def cond(carry):
+            st, step, it = carry
+            # int32 max-reduction instead of jnp.any: Mosaic routes boolean
+            # reductions through f64 under jax_enable_x64 and then refuses
+            # to scalarise them
+            alive = jnp.max(st.active.astype(jnp.int32)) > 0
+            return alive & (it < max_iters)
+
+        def body(carry):
+            st_i, step, it = carry
+            st = to_bool(st_i)
+            active = st.active
+            if method == "rk45":
+                st, step = _rk45_body(
+                    st, spin, horizon, dest, r_max, steplim, ctrl, active, step
+                )
+            else:
+                st, _ = _euler_rk4_body(
+                    st, spin, horizon, dest, r_max, steplim, ctrl, method, active
+                )
+            return to_int(st), step, it + 1
+
+        final, step_f, _ = lax.while_loop(
+            cond, body, (st0, st0.dt, jnp.int32(0))
+        )
+        final = final.replace(dt=step_f)
+        stuck = ((final.status & RAY_STATUS_STEPLIM) != 0) & (final.steps > 0)
+        final = final.replace(steps=jnp.where(stuck, -final.steps, final.steps))
+
+        for idx, name in enumerate(_F_FIELDS):
+            out_refs[idx][:] = getattr(final, name)
+        for idx, name in enumerate(_I_FIELDS):
+            out_refs[n_f + idx][:] = getattr(final, name)
+        for idx, name in enumerate(_B_FIELDS):
+            out_refs[n_f + n_i + idx][:] = getattr(final, name).astype(jnp.int32)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("method", "dest_kind", "steplim", "ctrl", "max_iters"),
+)
+def _trace_pallas_padded(
+    f_in, i_in, b_in, scalars, *, method, dest_kind, steplim, ctrl, max_iters
+):
+    n_blocks = f_in[0].shape[0] // _BLOCK_N
+    shape = (n_blocks * _BLOCK[0], _BLOCK[1])
+    f_in = [a.reshape(shape) for a in f_in]
+    i_in = [a.reshape(shape) for a in i_in]
+    b_in = [a.reshape(shape) for a in b_in]
+
+    kernel = _make_kernel(method, dest_kind, steplim, max_iters, ctrl)
+
+    block = pl.BlockSpec(_BLOCK, lambda i: (i, 0), memory_space=pltpu.VMEM)
+    scal = pl.BlockSpec(memory_space=pltpu.SMEM)
+    n_arrays = len(f_in) + len(i_in) + len(b_in)
+    # Trace the kernel with x64 disabled: the package enables x64 globally
+    # (for CPU/f64 accuracy), but under x64 bare Python scalars trace as
+    # 64-bit constants, which Mosaic cannot lower. All kernel inputs are
+    # explicitly f32/int32, so 32-bit weak-typing is exactly right here.
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[scal] + [block] * n_arrays,
+            out_specs=[block] * n_arrays,
+            out_shape=[jax.ShapeDtypeStruct(shape, a.dtype) for a in f_in + i_in + b_in],
+        )(scalars, *f_in, *i_in, *b_in)
+    return [o.reshape(-1) for o in outs]
+
+
+def trace_pallas(
+    rays: RayBatch,
+    spin,
+    *,
+    method: str = "rk4",
+    dest=None,
+    r_max=1000.0,
+    steplim: int = 30_000,
+    ctrl: StepControl = StepControl(),
+    max_iters: int | None = None,
+    resume: bool = False,
+) -> RayBatch:
+    """Pallas-kernel twin of trace() (f32, ThetaLimit / DiscWithISCO).
+
+    Pads the batch to a whole number of (8,128) blocks with dead rays and
+    returns the same RayBatch contract as trace().
+    """
+    if dest is None:
+        dest = ThetaLimit(jnp.pi / 2)
+    if isinstance(dest, DiscWithISCO):
+        dest_kind = "isco"
+        p0, p1 = dest.r_isco, dest.r_out
+    elif isinstance(dest, ThetaLimit):
+        dest_kind = "theta"
+        p0, p1 = dest.theta_lim, 0.0
+    else:
+        raise NotImplementedError(f"pallas path supports ThetaLimit/DiscWithISCO, got {type(dest)}")
+    if max_iters is None:
+        max_iters = steplim + steplim // 4 + 16
+
+    n = rays.n_rays
+    pad = (-n) % _BLOCK_N
+    f32 = jnp.float32
+
+    def pad_to(a, fill=0):
+        return jnp.pad(a, (0, pad), constant_values=fill) if pad else a
+
+    horizon = horizon_radius(spin)
+    if not resume:
+        # propagation gate reset (matches trace())
+        rays = rays.replace(
+            r_was_positive=jnp.zeros_like(rays.r_was_positive),
+            theta_was_positive=jnp.ones_like(rays.theta_was_positive),
+        )
+        if method == "rk45":
+            rays = rays.replace(dt=_seed_rk45_step(rays, spin, horizon, ctrl))
+
+    f_in = [pad_to(getattr(rays, f).astype(f32)) for f in _F_FIELDS]
+    i_in = [
+        pad_to(getattr(rays, f).astype(jnp.int32), fill=-1 if f == "steps" else 0)
+        for f in _I_FIELDS
+    ]
+    b_in = [pad_to(getattr(rays, f).astype(jnp.int32)) for f in _B_FIELDS]
+    scalars = jnp.asarray(
+        [spin, r_max, horizon, p0, p1], dtype=f32
+    )
+
+    outs = _trace_pallas_padded(
+        f_in, i_in, b_in, scalars,
+        method=method, dest_kind=dest_kind, steplim=steplim, ctrl=ctrl,
+        max_iters=max_iters,
+    )
+    n_f, n_i = len(_F_FIELDS), len(_I_FIELDS)
+    upd = {}
+    for idx, name in enumerate(_F_FIELDS):
+        upd[name] = outs[idx][:n].astype(rays.r.dtype)
+    for idx, name in enumerate(_I_FIELDS):
+        upd[name] = outs[n_f + idx][:n]
+    for idx, name in enumerate(_B_FIELDS):
+        upd[name] = outs[n_f + n_i + idx][:n] != 0
+    return rays.replace(**upd)
+
+
+def trace_pallas_compacted(
+    rays: RayBatch,
+    spin,
+    *,
+    method: str = "rk4",
+    dest=None,
+    r_max=1000.0,
+    steplim: int = 30_000,
+    ctrl: StepControl = StepControl(),
+    phase_iters: int = 4096,
+) -> RayBatch:
+    """Two-phase pallas march: full batch for phase_iters, then gather the
+    surviving lanes (the stuck-ray tail) into a minimal number of blocks
+    and finish them. A handful of photon-sphere orbiters otherwise forces
+    their whole (8,128) block through the full step budget."""
+    import numpy as np
+
+    total = steplim + steplim // 4 + 16
+    out = trace_pallas(
+        rays, spin, method=method, dest=dest, r_max=r_max, steplim=steplim,
+        ctrl=ctrl, max_iters=min(phase_iters, total),
+    )
+    used = phase_iters
+    while used < total:
+        idx = np.flatnonzero(np.asarray(out.active))
+        if idx.size == 0:
+            break
+        n_pad = max(_BLOCK_N, -(-idx.size // _BLOCK_N) * _BLOCK_N)
+        full_idx = np.concatenate([idx, np.zeros(n_pad - idx.size, dtype=idx.dtype)])
+        live = np.arange(n_pad) < idx.size
+        sub = jax.tree.map(lambda a: a[full_idx], out)
+        sub = sub.replace(steps=jnp.where(jnp.asarray(live), sub.steps, -1))
+        this_phase = min(phase_iters * 4, total - used)
+        sub = trace_pallas(
+            sub, spin, method=method, dest=dest, r_max=r_max, steplim=steplim,
+            ctrl=ctrl, max_iters=this_phase, resume=True,
+        )
+        used += this_phase
+        src_idx = jnp.asarray(idx)
+        out = jax.tree.map(
+            lambda a, b: a.at[src_idx].set(b[: idx.size]), out, sub
+        )
+    return out

@@ -167,7 +167,7 @@ def run_source_trace(
         # stopping criterion: freeze the ray where it enters the source
         stopped = moved & stop(st2.t, st2.r, st2.theta, st2.phi)
         st2 = st2.replace(
-            status=st2.status | jnp.where(stopped, 1 << 0, 0)  # DEST
+            status=st2.status | jnp.where(stopped, jnp.int32(1), jnp.int32(0))  # DEST
         )
 
         dr = st2.r - prev[1]
