@@ -45,6 +45,8 @@ def compute(
     steplim=None,
     ctrl=StepControl(),
     trace_fn=trace_compacted,
+    variant="plain",  # "plain" (emissivity.cpp) | "rd" (emissivity_rd.cpp)
+    theta_lim=jnp.pi / 2,
 ):
     """Run the emissivity pipeline; returns a dict of per-bin columns."""
     r_isco = isco_radius(spin)
@@ -64,15 +66,34 @@ def compute(
 
     rays = point_source(source, V, spin, grid)
     rays = redshift_start(rays, spin, V)
-    rays = trace_fn(rays, spin, method=method, r_max=r_max, steplim=steplim, ctrl=ctrl)
-    rays = range_phi(rays)
-    rays = apply_redshift(rays, spin, V=-1.0)
+    if variant == "rd":
+        # destination-API route (emissivity_rd.cpp:99-116): FlatDisc surface
+        # + RK4 + 4-velocity redshift, hit test on the landing polar angle
+        from raytrace_tpu.destinations import FlatDisc
+        from raytrace_tpu.ops.redshift import apply_redshift_dest
 
-    # disc-hit selection (emissivity.cpp:99-107): completed ray, close to the
-    # equatorial plane in height z, physical redshift, outside the ISCO
-    _, _, z = bl_to_cartesian(rays.r, rays.theta, rays.phi, spin)
-    g = rays.redshift
-    mask = rays.ok & (z < 1e-2) & (g > 0) & (rays.r >= r_isco)
+        dest = FlatDisc(theta_lim)
+        rays = trace_fn(rays, spin, method=method, dest=dest, r_max=r_max,
+                        steplim=steplim, ctrl=ctrl)
+        rays = range_phi(rays)
+        rays = apply_redshift_dest(rays, spin, dest)
+        g = rays.redshift
+        mask = (
+            rays.ok
+            & (rays.theta >= theta_lim - 1e-3)
+            & (g > 0)
+            & (rays.r >= r_isco)
+        )
+    else:
+        rays = trace_fn(rays, spin, method=method, r_max=r_max, steplim=steplim, ctrl=ctrl)
+        rays = range_phi(rays)
+        rays = apply_redshift(rays, spin, V=-1.0)
+
+        # disc-hit selection (emissivity.cpp:99-107): completed ray, close to
+        # the equatorial plane in height z, physical redshift, outside the ISCO
+        _, _, z = bl_to_cartesian(rays.r, rays.theta, rays.phi, spin)
+        g = rays.redshift
+        mask = rays.ok & (z < 1e-2) & (g > 0) & (rays.r >= r_isco)
 
     counts, sums = radial_bin_profile(
         rays.r,
@@ -103,7 +124,14 @@ def compute(
     return out
 
 
-def main(argv=None):
+def _main(variant):
+    def main(argv=None):
+        return _run_main(argv, variant)
+
+    return main
+
+
+def _run_main(argv, variant):
     apply_platform_overrides()
     cfg = Config(argv)
     outfile = cfg.get("outfile", str)
@@ -128,10 +156,11 @@ def main(argv=None):
     n_r = cfg.get("Nr", int, 100)
     logbin_r = cfg.get("logbin_r", bool, True)
     gamma = cfg.get("gamma", float, 2.0)
-    method = cfg.get("integrator", str, "rk45").lower()
+    method = cfg.get("integrator", str, "rk4" if variant == "rd" else "rk45").lower()
     steplim = cfg.get("steplim", int, -1)
+    theta_lim = cfg.get("theta_lim", float, np.pi / 2)
 
-    print(f"emissivity: spin={spin} source={source} {grid.n_rays} rays")
+    print(f"emissivity[{variant}]: spin={spin} source={source} {grid.n_rays} rays")
     out = compute(
         spin,
         source,
@@ -145,6 +174,8 @@ def main(argv=None):
         gamma=gamma,
         method=method,
         steplim=None if steplim <= 0 else steplim,
+        variant=variant,
+        theta_lim=theta_lim,
     )
 
     with TextOutput(outfile) as f:
@@ -155,6 +186,9 @@ def main(argv=None):
     print(f"wrote {outfile}")
     return 0
 
+
+main = _main("plain")
+main_rd = _main("rd")
 
 if __name__ == "__main__":
     sys.exit(main())

@@ -1,0 +1,191 @@
+"""Tests for the re-derived capability set: moving sources, HEALPix,
+volumetric mapper, wind radiative transfer, P-Cygni, returning radiation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytrace_tpu.geometry import (
+    circular_orbit_velocity,
+    isco_radius,
+    metric_coeffs,
+    metric_dot,
+    momentum_from_consts,
+)
+from raytrace_tpu.geometry.healpix import n_pixels, pixel_vectors, ring_to_xyf
+from raytrace_tpu.ops.mapper import MapperGrid, average_maps, cell_volumes, map_rays
+from raytrace_tpu.ops.redshift import redshift_start
+from raytrace_tpu.ops.source_tracer import (
+    EnergyTimeBins,
+    SphericalStop,
+    WindModel,
+    run_source_trace,
+)
+from raytrace_tpu.sources import (
+    ImagePlaneGrid,
+    PointSourceGrid,
+    healpix_point_source,
+    image_plane,
+    jet_point_source,
+    point_source,
+    point_source_vel,
+)
+
+SPIN = 0.9
+
+
+def _grid(d=0.25, db=0.5):
+    return PointSourceGrid.from_steps(d, db, -0.9, 0.9, -3.0, 3.0)
+
+
+class TestMovingSources:
+    def test_jet_rays_are_null(self):
+        rays = jet_point_source((0.0, 5.0, 1e-3, 0.0), 0.5, SPIN, _grid())
+        pt, pr, pth, pph = momentum_from_consts(
+            rays.r, rays.theta, rays.k, rays.h, rays.Q,
+            rays.rdot_sign, rays.thetadot_sign, SPIN,
+        )
+        g = metric_coeffs(rays.r, rays.theta, SPIN)
+        norm = metric_dot(g, (pt, pr, pth, pph), (pt, pr, pth, pph))
+        np.testing.assert_allclose(np.asarray(norm / (pt * pt)), 0.0, atol=1e-12)
+
+    def test_vel_source_reduces_to_orbit_source(self):
+        u4, V = circular_orbit_velocity(jnp.asarray(6.0), SPIN)
+        pos = (0.0, 6.0, jnp.pi / 2 - 1e-3, 0.0)
+        pv = point_source_vel(pos, u4, SPIN, _grid())
+        ps = point_source(pos, V, SPIN, _grid())
+        live = np.asarray(ps.steps) == 0
+        for f in ("k", "h", "Q", "rdot_sign", "thetadot_sign"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(pv, f))[live],
+                np.asarray(getattr(ps, f))[live],
+                rtol=1e-8, atol=1e-10, err_msg=f,
+            )
+
+    def test_jet_beaming_boosts_forward_energy(self):
+        """Killing energy k of forward (outward) rays must exceed backward
+        rays by the relativistic Doppler factor."""
+        rays = jet_point_source((0.0, 50.0, 1e-3, 0.0), 0.6, SPIN, _grid())
+        live = np.asarray(rays.steps) == 0
+        cosa = np.asarray(rays.alpha)[live]
+        k = np.asarray(rays.k)[live]
+        fwd = k[cosa > 0.8].mean()
+        back = k[cosa < -0.8].mean()
+        # Doppler: E_fwd/E_back -> (1+v)/(1-v) = 4 at the poles
+        assert 3.0 < fwd / back < 4.5
+
+
+class TestHealpix:
+    def test_pixel_count_and_unit_corners(self):
+        for order in (1, 2, 3):
+            corners, centres = pixel_vectors(order)
+            assert corners.shape == (n_pixels(order), 4, 3)
+            norms = np.linalg.norm(corners.reshape(-1, 3), axis=1)
+            np.testing.assert_allclose(norms, 1.0, atol=1e-12)
+
+    def test_pixels_cover_sphere_uniformly(self):
+        _, centres = pixel_vectors(3)
+        # mean direction vanishes and z-distribution is uniform
+        assert np.abs(centres.mean(axis=0)).max() < 0.01
+        z = np.sort(centres[:, 2] / np.linalg.norm(centres, axis=1))
+        uniform = np.linspace(-1, 1, len(z) + 1)[:-1] + 1.0 / len(z)
+        # centres are corner averages, giving a small systematic offset
+        assert np.abs(z - uniform).max() < 0.06
+
+    def test_ring_xyf_in_range(self):
+        order = 3
+        ix, iy, face = ring_to_xyf(order, np.arange(n_pixels(order)))
+        nside = 1 << order
+        assert (ix >= 0).all() and (ix < nside).all()
+        assert (iy >= 0).all() and (iy < nside).all()
+        assert (face >= 0).all() and (face < 12).all()
+
+    def test_disc_source_mask_and_null(self):
+        rays, npix = healpix_point_source(
+            (0.0, 5.0, 1e-3, 0.0), SPIN, order=2, disc_source=True
+        )
+        dead = np.asarray(rays.steps) == -1
+        assert 0.45 < dead.mean() < 0.55
+
+
+class TestMapper:
+    def test_map_accumulates_physical_redshifts(self):
+        grid = _grid()
+        rays = point_source((0.0, 5.0, 1e-3, 0.0), V=0.0, spin=SPIN, grid=grid)
+        rays = redshift_start(rays, SPIN, V=0.0)
+        mg = MapperGrid(r0=1.5, r_max=50.0, n_r=12, n_theta=8, n_phi=8)
+        final, maps = map_rays(rays, SPIN, mg, r_lim=50.0,
+                               theta_lim=np.pi / 2, steplim=8000)
+        avg = average_maps(maps)
+        c = avg["count"]
+        assert c.sum() > 200
+        g = avg["redshift"][c > 0]
+        assert np.isfinite(g).all() and (g > 0.05).all() and (g < 3).all()
+        # arrival times increase with radius on average (propagation)
+        t = avg["time"]
+        assert np.nanmean(t[c > 0]) > 0
+
+    def test_cell_volumes_positive_off_axis(self):
+        mg = MapperGrid(r0=2.0, r_max=50.0, n_r=10, n_theta=8, n_phi=8)
+        vol = np.asarray(cell_volumes(mg, SPIN))
+        assert vol.shape == (10, 8, 8)
+        assert (vol[:, 1:, :] > 0).all()  # interior cells
+
+
+class TestSourceTracer:
+    def test_wind_line_profile(self):
+        ig = ImagePlaneGrid.from_steps(-40.0, 40.0, 5.0, -40.0, 40.0, 5.0)
+        rays = image_plane(800.0, 60.0, ig, SPIN)
+        rays = redshift_start(rays, -SPIN, V=0.0, reverse=True)
+        wind = WindModel(v0=0.2)
+        bins = EnergyTimeBins(en0=0.5, en_max=2.0, n_en=50, n_t=1, dt=1e5)
+        final, emis, absorb, resp = run_source_trace(
+            rays, -SPIN, wind, bins, stop=SphericalStop(2.0),
+            r_lim=1200.0, steplim=15000,
+        )
+        emis = np.asarray(emis)
+        assert (emis.sum(axis=1) > 0).sum() > 50  # many rays see the wind
+        spec = emis.sum(axis=0)
+        peak_e = bins.energies()[spec.argmax()]
+        assert 0.6 < peak_e < 1.5  # line forms around the rest energy
+        assert np.asarray(absorb).sum() > 0
+        assert np.asarray(resp).sum() > 0
+
+
+class TestPcyg:
+    def test_profile_shape(self):
+        from raytrace_tpu.apps.pcyg import compute
+
+        en, em, cont, tot = (np.asarray(o) for o in compute(nx=100, n_en=150))
+        assert em.sum() > 0 and cont.sum() > 0
+        # emission spans the line; continuum absorption is blueward (E > 1)
+        c = cont / cont.sum()
+        blue = c[(en > 1.05) & (en < 1.19)].mean()
+        red = c[(en > 0.85) & (en < 0.95)].mean()
+        assert blue < red  # blueshifted absorption trough
+
+    def test_continuum_tau_normalisation(self):
+        from raytrace_tpu.apps.pcyg import compute
+
+        _, _, cont1, _ = compute(nx=60, n_en=100, tau=0.5)
+        _, _, cont2, _ = compute(nx=60, n_en=100, tau=3.0)
+        c1 = np.asarray(cont1) / np.asarray(cont1).max()
+        c2 = np.asarray(cont2) / np.asarray(cont2).max()
+        assert c2.min() < c1.min()  # deeper trough at higher tau
+
+
+class TestReturnRadiation:
+    def test_fractions_behave_with_radius(self):
+        from raytrace_tpu.apps.return_radiation import photon_fractions
+
+        grid = PointSourceGrid.from_steps(0.2, 0.4)
+        near = photon_fractions(2.0, 0.998, grid, steplim=8000)
+        far = photon_fractions(20.0, 0.998, grid, steplim=8000)
+        n_n = near["n_live"]
+        n_f = far["n_live"]
+        # capture fraction falls with radius; escape rises
+        assert near["n_horizon"] / n_n > far["n_horizon"] / n_f
+        assert near["n_escape"] / n_n < far["n_escape"] / n_f
+        # returning radiation is substantial near the ISCO
+        assert near["n_return"] / n_n > 0.3
