@@ -189,3 +189,27 @@ class TestReturnRadiation:
         assert near["n_escape"] / n_n < far["n_escape"] / n_f
         # returning radiation is substantial near the ISCO
         assert near["n_return"] / n_n > 0.3
+
+
+class TestCheckpoint:
+    def test_suspend_resume_equals_uninterrupted(self, tmp_path):
+        from raytrace_tpu.ops import trace
+        from raytrace_tpu.utils import load_rays, save_rays
+
+        grid = PointSourceGrid.from_steps(0.4, 0.8)
+        rays = point_source((0.0, 5.0, 1e-3, 0.0), 0.0, SPIN, grid)
+        part = trace(rays, SPIN, method="rk4", r_max=200.0, steplim=8000,
+                     max_iters=150)
+        path = str(tmp_path / "ckpt.npz")
+        save_rays(path, part, spin=SPIN)
+        loaded, meta = load_rays(path)
+        assert float(meta["spin"]) == SPIN
+        resumed = trace(loaded, SPIN, method="rk4", r_max=200.0, steplim=8000,
+                        resume=True)
+        full = trace(rays, SPIN, method="rk4", r_max=200.0, steplim=8000)
+        np.testing.assert_array_equal(
+            np.asarray(resumed.status), np.asarray(full.status)
+        )
+        np.testing.assert_allclose(
+            np.asarray(resumed.r), np.asarray(full.r), rtol=1e-12
+        )
