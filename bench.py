@@ -49,9 +49,11 @@ def main():
     if on_tpu:
         # Pallas kernel: each (8,128) ray block marches to completion in
         # VMEM — one HBM load/store per ray for the whole propagation.
-        from raytrace_tpu.ops.pallas_kernel import trace_pallas
+        from raytrace_tpu.ops.pallas_kernel import trace_pallas_compacted
 
-        run = lambda: trace_pallas(rays, s, method="rk4", r_max=1000.0, steplim=steplim)
+        run = lambda: trace_pallas_compacted(
+            rays, s, method="rk4", r_max=1000.0, steplim=steplim, phase_iters=4096
+        )
     else:
         run = lambda: trace_compacted(
             rays, s, method="rk4", r_max=1000.0, steplim=steplim, phase_iters=2048

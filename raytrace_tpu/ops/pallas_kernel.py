@@ -46,15 +46,20 @@ _I_FIELDS = ("steps", "status", "rdot_flips", "equatorial_crossings")
 _B_FIELDS = ("r_was_positive", "theta_was_positive")
 
 
-def _make_kernel(method, dest_kind, steplim, max_iters, ctrl: StepControl):
+def _make_kernel(method, dest_kind, ctrl: StepControl):
     n_f, n_i, n_b = len(_F_FIELDS), len(_I_FIELDS), len(_B_FIELDS)
 
-    def kernel(scalars_ref, *refs):
+    def kernel(scalars_ref, limits_ref, *refs):
         spin = scalars_ref[0]
         r_max = scalars_ref[1]
         horizon = scalars_ref[2]
         p0 = scalars_ref[3]  # theta_lim | r_isco
         p1 = scalars_ref[4]  # unused    | r_out
+        # runtime step budgets: keeping these out of the trace means one
+        # kernel compilation per (method, destination) total — essential
+        # when each Mosaic compile takes minutes over a remote-compile link
+        steplim = limits_ref[0]
+        max_iters = limits_ref[1]
 
         n_total = n_f + n_i + n_b
         in_refs = refs[:n_total]
@@ -130,10 +135,10 @@ def _make_kernel(method, dest_kind, steplim, max_iters, ctrl: StepControl):
 
 @partial(
     jax.jit,
-    static_argnames=("method", "dest_kind", "steplim", "ctrl", "max_iters"),
+    static_argnames=("method", "dest_kind", "ctrl"),
 )
 def _trace_pallas_padded(
-    f_in, i_in, b_in, scalars, *, method, dest_kind, steplim, ctrl, max_iters
+    f_in, i_in, b_in, scalars, limits, *, method, dest_kind, ctrl
 ):
     n_blocks = f_in[0].shape[0] // _BLOCK_N
     shape = (n_blocks * _BLOCK[0], _BLOCK[1])
@@ -141,7 +146,7 @@ def _trace_pallas_padded(
     i_in = [a.reshape(shape) for a in i_in]
     b_in = [a.reshape(shape) for a in b_in]
 
-    kernel = _make_kernel(method, dest_kind, steplim, max_iters, ctrl)
+    kernel = _make_kernel(method, dest_kind, ctrl)
 
     block = pl.BlockSpec(_BLOCK, lambda i: (i, 0), memory_space=pltpu.VMEM)
     scal = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -154,10 +159,10 @@ def _trace_pallas_padded(
         outs = pl.pallas_call(
             kernel,
             grid=(n_blocks,),
-            in_specs=[scal] + [block] * n_arrays,
+            in_specs=[scal, scal] + [block] * n_arrays,
             out_specs=[block] * n_arrays,
             out_shape=[jax.ShapeDtypeStruct(shape, a.dtype) for a in f_in + i_in + b_in],
-        )(scalars, *f_in, *i_in, *b_in)
+        )(scalars, limits, *f_in, *i_in, *b_in)
     return [o.reshape(-1) for o in outs]
 
 
@@ -217,11 +222,11 @@ def trace_pallas(
     scalars = jnp.asarray(
         [spin, r_max, horizon, p0, p1], dtype=f32
     )
+    limits = jnp.asarray([steplim, max_iters], dtype=jnp.int32)
 
     outs = _trace_pallas_padded(
-        f_in, i_in, b_in, scalars,
-        method=method, dest_kind=dest_kind, steplim=steplim, ctrl=ctrl,
-        max_iters=max_iters,
+        f_in, i_in, b_in, scalars, limits,
+        method=method, dest_kind=dest_kind, ctrl=ctrl,
     )
     n_f, n_i = len(_F_FIELDS), len(_I_FIELDS)
     upd = {}
@@ -244,11 +249,14 @@ def trace_pallas_compacted(
     steplim: int = 30_000,
     ctrl: StepControl = StepControl(),
     phase_iters: int = 4096,
+    tail_capacity: int = 8192,
 ) -> RayBatch:
-    """Two-phase pallas march: full batch for phase_iters, then gather the
-    surviving lanes (the stuck-ray tail) into a minimal number of blocks
-    and finish them. A handful of photon-sphere orbiters otherwise forces
-    their whole (8,128) block through the full step budget."""
+    """Two-phase pallas march: the full batch runs phase_iters lock-step
+    iterations (covering ~p99.9 of rays), then the surviving long tail —
+    photon-sphere orbiters and late finishers — is gathered into a batch of
+    *fixed* capacity and finished. The fixed tail shape means exactly two
+    kernel compilations ever, reused across calls; survivors beyond
+    capacity simply continue full-width (rare)."""
     import numpy as np
 
     total = steplim + steplim // 4 + 16
@@ -256,24 +264,27 @@ def trace_pallas_compacted(
         rays, spin, method=method, dest=dest, r_max=r_max, steplim=steplim,
         ctrl=ctrl, max_iters=min(phase_iters, total),
     )
-    used = phase_iters
-    while used < total:
-        idx = np.flatnonzero(np.asarray(out.active))
-        if idx.size == 0:
-            break
-        n_pad = max(_BLOCK_N, -(-idx.size // _BLOCK_N) * _BLOCK_N)
-        full_idx = np.concatenate([idx, np.zeros(n_pad - idx.size, dtype=idx.dtype)])
-        live = np.arange(n_pad) < idx.size
-        sub = jax.tree.map(lambda a: a[full_idx], out)
-        sub = sub.replace(steps=jnp.where(jnp.asarray(live), sub.steps, -1))
-        this_phase = min(phase_iters * 4, total - used)
-        sub = trace_pallas(
-            sub, spin, method=method, dest=dest, r_max=r_max, steplim=steplim,
-            ctrl=ctrl, max_iters=this_phase, resume=True,
+    used = min(phase_iters, total)
+    if used >= total:
+        return out
+    idx = np.flatnonzero(np.asarray(out.active))
+    if idx.size == 0:
+        return out
+    if idx.size > tail_capacity:
+        # tail too fat to compact: finish full-width
+        return trace_pallas(
+            rays=out, spin=spin, method=method, dest=dest, r_max=r_max,
+            steplim=steplim, ctrl=ctrl, max_iters=total - used, resume=True,
         )
-        used += this_phase
-        src_idx = jnp.asarray(idx)
-        out = jax.tree.map(
-            lambda a, b: a.at[src_idx].set(b[: idx.size]), out, sub
-        )
-    return out
+    full_idx = np.concatenate(
+        [idx, np.zeros(tail_capacity - idx.size, dtype=idx.dtype)]
+    )
+    live = np.arange(tail_capacity) < idx.size
+    sub = jax.tree.map(lambda a: a[full_idx], out)
+    sub = sub.replace(steps=jnp.where(jnp.asarray(live), sub.steps, -1))
+    sub = trace_pallas(
+        sub, spin, method=method, dest=dest, r_max=r_max, steplim=steplim,
+        ctrl=ctrl, max_iters=total - used, resume=True,
+    )
+    src_idx = jnp.asarray(idx)
+    return jax.tree.map(lambda a, b: a.at[src_idx].set(b[: idx.size]), out, sub)

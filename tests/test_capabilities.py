@@ -213,3 +213,44 @@ class TestCheckpoint:
         np.testing.assert_allclose(
             np.asarray(resumed.r), np.asarray(full.r), rtol=1e-12
         )
+
+
+class TestSobolevWind:
+    def test_pcyg_sei_morphology(self):
+        from raytrace_tpu.apps.sobolev_wind import pcyg_sei_profile
+
+        v = np.linspace(-1.5, 1.5, 61)
+        f = np.asarray(pcyg_sei_profile(v, tau_tot=2.0, turb=0.05, n_p=80))
+        # continuum far from the line
+        np.testing.assert_allclose(f[0], 1.0, atol=0.05)
+        np.testing.assert_allclose(f[-1], 1.0, atol=0.05)
+        # absorption trough on the approaching side, within the wind speed
+        i = f.argmin()
+        assert f[i] < 0.6 and -1.1 < v[i] < -0.1
+        # emission fills the line core
+        assert f[np.abs(v).argmin()] > f[i]
+
+    def test_disc_wind_tau_scaling_and_gradient(self):
+        from raytrace_tpu.apps.sobolev_wind import WindParams, disc_wind_profile
+
+        v = jnp.linspace(-1.5, 1.5, 41)
+        f1 = np.asarray(disc_wind_profile(v, WindParams(tau_tot=0.5), n_p=80, n_phi=16))
+        f2 = np.asarray(disc_wind_profile(v, WindParams(tau_tot=4.0), n_p=80, n_phi=16))
+        assert f2.min() < f1.min()  # deeper trough with more optical depth
+
+        g = jax.grad(
+            lambda t: disc_wind_profile(v, WindParams(tau_tot=t), n_p=80, n_phi=16).sum()
+        )(1.0)
+        assert np.isfinite(float(g))
+
+    def test_wind_cone_gates_absorption(self):
+        from raytrace_tpu.apps.sobolev_wind import WindParams, disc_wind_profile
+
+        v = jnp.linspace(-1.5, 1.5, 41)
+        # pole-on view of an equatorial cone: sightline to the star misses
+        # the wind -> almost no trough; wide cone -> deep trough
+        narrow = np.asarray(disc_wind_profile(
+            v, WindParams(tau_tot=3.0, incl=0.0, wind_angle=0.2), n_p=80, n_phi=16))
+        wide = np.asarray(disc_wind_profile(
+            v, WindParams(tau_tot=3.0, incl=0.0, wind_angle=2.0), n_p=80, n_phi=16))
+        assert wide.min() < narrow.min()
