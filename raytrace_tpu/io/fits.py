@@ -180,3 +180,54 @@ class FITSOutput:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def read_fits(filename: str) -> dict:
+    """Minimal FITS reader for files written by FITSOutput (and compatible
+    simple FITS): returns {extname_or_index: ndarray} plus "_headers" with
+    the raw card dictionaries. Images only; data returned in the writer's
+    (x, y) orientation (i.e. transposed back from FITS Fortran order)."""
+    out = {}
+    headers = {}
+    raw = open(filename, "rb").read()
+    pos = 0
+    index = 0
+    while pos < len(raw):
+        cards = []
+        while True:
+            block = raw[pos:pos + _BLOCK]
+            if len(block) < _BLOCK:
+                return out | {"_headers": headers}
+            pos += _BLOCK
+            for i in range(0, _BLOCK, _CARD):
+                cards.append(block[i:i + _CARD].decode("ascii", "replace"))
+            if any(c.startswith("END") for c in cards):
+                break
+        hdr = {}
+        for c in cards:
+            if "=" in c[:10]:
+                key = c[:8].strip()
+                val = c[10:].split("/", 1)[0].strip()
+                hdr[key] = val
+        naxis = int(hdr.get("NAXIS", "0"))
+        shape_f = [int(hdr[f"NAXIS{i + 1}"]) for i in range(naxis)]
+        bitpix = int(hdr.get("BITPIX", "8"))
+        dtype = {8: ">u1", 16: ">i2", 32: ">i4", 64: ">i8", -32: ">f4", -64: ">f8"}[bitpix]
+        count = 1
+        for s in shape_f:
+            count *= s
+        nbytes = count * abs(bitpix) // 8 if naxis else 0
+        name = hdr.get("EXTNAME", "").strip("' ") or (f"HDU{index}" if index else "PRIMARY")
+        is_table = "BINTABLE" in hdr.get("XTENSION", "")
+        if naxis and not is_table:
+            data = np.frombuffer(raw, dtype=dtype, count=count, offset=pos)
+            # FITS is Fortran-ordered; undo the writer's transpose
+            arr = data.reshape(shape_f[::-1])
+            if arr.ndim == 2:
+                arr = arr.T
+            out[name] = arr
+        headers[name] = hdr
+        pos += -(-nbytes // _BLOCK) * _BLOCK
+        index += 1
+    out["_headers"] = headers
+    return out
