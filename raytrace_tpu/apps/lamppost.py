@@ -67,6 +67,13 @@ def _build_source(cfg, grid):
         v = cfg.get("v_jet", float)
         rays = jet_point_source(tuple(source), v, spin, grid)
         mode = f"jet v={v}"
+    elif cfg.args.key_exists("plunge") or cfg.par.key_exists("plunge"):
+        # source plunging from the ISCO (angdist_point_plunge.cpp capability)
+        from raytrace_tpu.geometry.disc import plunge_velocity
+
+        u4 = plunge_velocity(jnp.asarray(source[1]), spin)
+        rays = point_source_vel(tuple(source), u4, spin, grid)
+        mode = f"plunge r={source[1]}"
     elif cfg.par.key_exists("u_r") or cfg.args.key_exists("u_r"):
         # arbitrary spatial velocity; u^t solved from normalisation
         from raytrace_tpu.geometry import metric_coeffs

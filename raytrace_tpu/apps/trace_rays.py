@@ -109,5 +109,58 @@ def main_imageplane(argv=None):
     return 0
 
 
+def _main_moving(kind):
+    """Trajectory dumps for moving sources (trace_rays_jetpoint.cpp /
+    trace_rays_vel.cpp capability)."""
+
+    def main(argv=None):
+        apply_platform_overrides()
+        cfg = Config(argv)
+        outfile = cfg.get("outfile", str)
+        source = (cfg.get_array("source", float, 4)
+                  if cfg.par.key_exists("source")
+                  else [0.0, cfg.get("source_h", float, 5.0), 1e-3, 0.0])
+        spin = cfg.get("spin", float)
+        grid = PointSourceGrid.from_steps(
+            cfg.get("dcosalpha", float, 0.4), cfg.get("dbeta", float, 1.5),
+            cfg.get("cosalpha0", float, -0.995),
+            cfg.get("cosalphamax", float, 0.995),
+            cfg.get("beta0", float, -np.pi), cfg.get("betamax", float, np.pi),
+        )
+        from raytrace_tpu.sources import jet_point_source, point_source_vel
+        if kind == "jet":
+            rays = jet_point_source(tuple(source), cfg.get("v_jet", float, 0.5),
+                                    spin, grid)
+        else:
+            ur = cfg.get("u_r", float, 0.0)
+            uph = cfg.get("u_phi", float, 0.0)
+            from raytrace_tpu.geometry import metric_coeffs
+            import jax.numpy as jnp
+            g = metric_coeffs(jnp.asarray(source[1]), jnp.asarray(source[2]), spin)
+            a_, b_ = g.g_tt, 2.0 * g.g_tphi * uph
+            c_ = g.g_rr * ur**2 + g.g_phph * uph**2 - 1.0
+            ut = (-b_ + jnp.sqrt(b_ * b_ - 4 * a_ * c_)) / (2 * a_)
+            rays = point_source_vel(tuple(source), (ut, ur, 0.0 * ut, uph), spin, grid)
+        final, history = trace_with_history(
+            rays, spin, method=cfg.get("integrator", str, "euler").lower(),
+            dest=ThetaLimit(cfg.get("theta_max", float, np.pi / 2)),
+            r_max=cfg.get("r_max", float, 100.0),
+            write_step=cfg.get("write_step", int, 10),
+            n_snapshots=cfg.get("n_snapshots", int, 1024),
+        )
+        dump_trajectories(outfile, rays, history, spin,
+                          cfg.get("write_rmax", float, -1.0),
+                          cfg.get("write_rmin", float, -1.0),
+                          cfg.get("write_cartesian", bool, True))
+        print(f"wrote {outfile}")
+        return 0
+
+    return main
+
+
+main_jetpoint = _main_moving("jet")
+main_vel = _main_moving("vel")
+
+
 if __name__ == "__main__":
     sys.exit(main())

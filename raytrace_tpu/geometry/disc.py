@@ -110,7 +110,8 @@ def plunge_disc_area(r, dr, dphi, a, r_plunge=None):
 
 
 def integrate_disc_area_bins(
-    r_lo, r_hi, a, force_keplerian=False, n_sub=50, dphi=0.1, logbin=True
+    r_lo, r_hi, a, force_keplerian=False, n_sub=50, dphi=0.1, logbin=True,
+    r_plunge=None,
 ):
     """Rest-frame areas of many [r_lo_i, r_hi_i) bins at once.
 
@@ -131,16 +132,17 @@ def integrate_disc_area_bins(
         r = r_lo[:, None] + idx[None, :] * dr_lin[:, None]
         dr = jnp.broadcast_to(dr_lin[:, None], r.shape)
 
+    switch_r = r_isco if r_plunge is None else r_plunge
     kep = rel_disc_area(r, dr, dphi, a)
     if force_keplerian:
         area = kep
     else:
-        plunge = plunge_disc_area(r, dr, dphi, a)
-        area = jnp.where(r >= r_isco, kep, plunge)
+        plunge = plunge_disc_area(r, dr, dphi, a, r_plunge)
+        area = jnp.where(r >= switch_r, kep, plunge)
     return jnp.sum(jnp.where(area > 0, area, 0.0), axis=1)
 
 
-def integrate_disc_area(rmin, rmax, a, force_keplerian=False, n_sub=50, dphi=0.1, logbin=True):
+def integrate_disc_area(rmin, rmax, a, force_keplerian=False, n_sub=50, dphi=0.1, logbin=True, r_plunge=None):
     """Total rest-frame area of the disc between rmin and rmax.
 
     Splits [rmin, rmax) into n_sub-1 sub-annuli (log or linear), evaluates
@@ -161,10 +163,11 @@ def integrate_disc_area(rmin, rmax, a, force_keplerian=False, n_sub=50, dphi=0.1
         r = rmin + idx * dr_lin
         dr = jnp.full_like(r, dr_lin)
 
+    switch_r = r_isco if r_plunge is None else r_plunge
     kep = rel_disc_area(r, dr, dphi, a)
     if force_keplerian:
         area = kep
     else:
-        plunge = plunge_disc_area(r, dr, dphi, a)
-        area = jnp.where(r >= r_isco, kep, plunge)
+        plunge = plunge_disc_area(r, dr, dphi, a, r_plunge)
+        area = jnp.where(r >= switch_r, kep, plunge)
     return jnp.sum(jnp.where(area > 0, area, 0.0))

@@ -18,7 +18,7 @@ def small_image():
     grid = ImagePlaneGrid.from_steps(-20.0, 20.0, 0.5, -20.0, 20.0, 0.5)
     out = image_compute(
         SPIN, 500.0, 60.0, grid, r_disc=20.0, img_nx=40, img_ny=40,
-        method="rk4", steplim=15000,
+        method="rk4", steplim=30000,
     )
     return grid, out
 
@@ -79,24 +79,16 @@ def test_powerlaw3_continuity():
     assert abs(v[2] / v[3] - 1) < 1e-4
 
 
-GOLDEN_BIN = "/tmp/refbin/disc_ref.bin"
+GOLDEN_BIN = "tests/golden/disc_image_a0.998_i60_rk4.bin"
 
 
-@pytest.mark.skipif(
-    not __import__("os").path.exists(GOLDEN_BIN),
-    reason="reference disc-image dump not available",
-)
 def test_image_matches_reference_binary(small_image):
-    """Statistical comparison vs the reference imageplane_disc_image
-    accumulation arrays (same config: dist 500, incl 60, spin 0.998,
-    r_disc 20, 81x81 rays -> 40x40 image, RK45)."""
-    import struct
-
-    grid, _ = small_image
-    out = image_compute(
-        SPIN, 500.0, 60.0, grid, r_disc=20.0, img_nx=40, img_ny=40,
-        method="rk45", steplim=None,
-    )
+    """Per-pixel comparison vs the reference imageplane_disc_image
+    accumulation arrays (config: dist 500, incl 60, spin 0.998, r_disc 20,
+    81x81 rays -> 40x40 image, RK4, steplim 30000). Same-integrator
+    same-precision runs agree to ~1e-4 per pixel; the thresholds leave
+    room for separatrix chatter."""
+    grid, out = small_image
     raw = open(GOLDEN_BIN, "rb").read()
     n = 40 * 40
     maps = {}
@@ -107,12 +99,13 @@ def test_image_matches_reference_binary(small_image):
     counts = np.fromfile(GOLDEN_BIN + ".counts", dtype="<i4").reshape(40, 40)
 
     mine_c = out["counts"]
-    # pixel-count agreement on well-populated pixels
+    assert abs(int(mine_c.sum()) - int(counts.sum())) / counts.sum() < 0.05
     good = (counts >= 3) & (mine_c >= 3)
-    assert good.sum() > 200
-    for name, key, tol in [("r", "r", 0.02), ("enshift", "enshift", 0.02),
-                           ("flux", "flux", 0.10), ("time", "time", 0.02)]:
+    assert good.sum() > 500
+    for name, key, tol in [("r", "r", 0.005), ("enshift", "enshift", 0.005),
+                           ("flux", "flux", 0.01), ("time", "time", 0.005),
+                           ("emis", "emis", 0.01)]:
         ref = maps[name][good]
         mine = out[key][good]
         rel = np.abs(mine / ref - 1)
-        assert np.median(rel) < tol, f"{name}: median dev {np.median(rel):.4f}"
+        assert np.median(rel) < tol, f"{name}: median dev {np.median(rel):.5f}"
