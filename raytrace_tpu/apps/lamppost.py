@@ -56,25 +56,25 @@ def _grid_from_cfg(cfg, d_default=0.05):
 def _build_source(cfg, grid):
     """Source selector shared by the sky/angdist apps: static (default),
     radial jet (--v_jet) or arbitrary 4-velocity (--u_r/u_theta/u_phi)."""
-    if cfg.par.key_exists("source"):
+    if cfg.key_exists("source"):
         source = cfg.get_array("source", float, 4)
     else:
         source = [0.0, cfg.get("source_h", float, 5.0), 1e-3, 0.0]
     if cfg.args.key_exists("source_h"):
         source[1] = cfg.args.get("source_h", float)
     spin = cfg.get("spin", float)
-    if cfg.args.key_exists("v_jet") or cfg.par.key_exists("v_jet"):
+    if cfg.key_exists("v_jet"):
         v = cfg.get("v_jet", float)
         rays = jet_point_source(tuple(source), v, spin, grid)
         mode = f"jet v={v}"
-    elif cfg.args.key_exists("plunge") or cfg.par.key_exists("plunge"):
+    elif cfg.key_exists("plunge"):
         # source plunging from the ISCO (angdist_point_plunge.cpp capability)
         from raytrace_tpu.geometry.disc import plunge_velocity
 
         u4 = plunge_velocity(jnp.asarray(source[1]), spin)
         rays = point_source_vel(tuple(source), u4, spin, grid)
         mode = f"plunge r={source[1]}"
-    elif cfg.par.key_exists("u_r") or cfg.args.key_exists("u_r"):
+    elif cfg.key_exists("u_r"):
         # arbitrary spatial velocity; u^t solved from normalisation
         from raytrace_tpu.geometry import metric_coeffs
 
@@ -232,7 +232,7 @@ def main_solid_angle(argv=None):
     cfg = Config(argv)
     grid = _grid_from_cfg(cfg, d_default=0.05)
     spin = cfg.get("spin", float, 0.9)
-    source = cfg.get_array("source", float, 4) if cfg.par.key_exists("source") else [0, 5, 1e-3, 0]
+    source = cfg.get_array("source", float, 4) if cfg.key_exists("source") else [0, 5, 1e-3, 0]
     rays = point_source(tuple(source), 0.0, spin, grid)
     live = (np.asarray(rays.steps) == 0).sum()
     measured = live * grid.dcosalpha * grid.dbeta

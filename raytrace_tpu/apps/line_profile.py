@@ -52,7 +52,7 @@ def main(argv=None):
     e_rest = cfg.get("line_en", float, 6.4)
     n_en = cfg.get("Nen", int, 200)
 
-    if cfg.args.key_exists("image") or cfg.par.key_exists("image"):
+    if cfg.key_exists("image"):
         maps = read_fits(cfg.get("image", str))
         flux = maps["FLUX"].astype(float)
         enshift = maps["ENSHIFT"].astype(float)

@@ -118,7 +118,7 @@ def _main_moving(kind):
         cfg = Config(argv)
         outfile = cfg.get("outfile", str)
         source = (cfg.get_array("source", float, 4)
-                  if cfg.par.key_exists("source")
+                  if cfg.key_exists("source")
                   else [0.0, cfg.get("source_h", float, 5.0), 1e-3, 0.0])
         spin = cfg.get("spin", float)
         grid = PointSourceGrid.from_steps(

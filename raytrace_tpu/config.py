@@ -153,5 +153,15 @@ class Config:
             return self.par.get(key, typ)
         return self.par.get(key, typ, default)
 
+    def key_exists(self, key: str) -> bool:
+        return self.args.key_exists(key) or self.par.key_exists(key)
+
     def get_array(self, key: str, typ=float, n: int | None = None):
+        # CLI overrides the par file here too: --source="0 5 1e-3 0"
+        if self.args.key_exists(key):
+            vals = [_convert(v, typ) for v in self.args.get(key, str).split()]
+            if n is not None and len(vals) < n:
+                raise ParameterError(
+                    f"parameter '{key}' needs {n} values, got {len(vals)}")
+            return vals[:n] if n is not None else vals
         return self.par.get_array(key, typ, n)

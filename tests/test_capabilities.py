@@ -254,3 +254,21 @@ class TestSobolevWind:
         wide = np.asarray(disc_wind_profile(
             v, WindParams(tau_tot=3.0, incl=0.0, wind_angle=2.0), n_p=80, n_phi=16))
         assert wide.min() < narrow.min()
+
+
+class TestPerfHarness:
+    """rt-perf-test (integrator_perf_test.cpp capability) mechanics."""
+
+    def test_reports_stats_and_histogram(self):
+        from raytrace_tpu.apps.perf_test import run_method, step_histogram
+        from raytrace_tpu.ops import StepControl
+
+        rays = point_source((0.0, 5.0, 1e-3, 0.0), 0.0, SPIN,
+                            PointSourceGrid.from_steps(0.35, 0.7))
+        st = run_method(rays, SPIN, "rk4", r_max=100.0, steplim=5000,
+                        phase_iters=1024, ctrl=StepControl())
+        assert st["n_rays"] > 0 and st["steps_total"] > 0
+        assert st["median"] <= st["p90"] <= st["p99"] <= st["max"]
+        assert st["fevals"] == 4 * st["steps_total"]
+        lines = step_histogram(st["steps"])
+        assert lines and any("#" in l for l in lines)
