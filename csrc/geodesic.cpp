@@ -50,17 +50,21 @@ inline Rates rates_at(double r, double theta, double k, double h, double Q,
   const double s2 = st * st;
   const double rhosq = r * r + a * a * ct * ct;
   const double delta = r * r - 2.0 * r + a * a;
+  // op order mirrors geometry/kerr.py geodesic_rates exactly (fp-level
+  // cross-language agreement, tests/test_native.py)
   const double inv_rd = 1.0 / (rhosq * delta);
+  const double inv_sin = 1.0 / st;
+  const double inv_rhosq = delta * inv_rd;
 
   Rates o;
   o.pt = ((rhosq * (r * r + a * a) + 2.0 * a * a * r * s2) * k - 2.0 * a * r * h) * inv_rd;
-  o.pphi = (2.0 * a * r * s2 * k + (rhosq - 2.0 * r) * h) * inv_rd / s2;
+  o.pphi = (2.0 * a * r * s2 * k + (rhosq - 2.0 * r) * h) * inv_rd * (inv_sin * inv_sin);
 
-  const double cot_h = h * ct / st;
-  o.thetadot_sq = (Q + (k * a * ct + cot_h) * (k * a * ct - cot_h)) / (rhosq * rhosq);
+  const double cot_h = h * ct * inv_sin;
+  o.thetadot_sq = (Q + (k * a * ct + cot_h) * (k * a * ct - cot_h)) * (inv_rhosq * inv_rhosq);
   o.ptheta = std::sqrt(std::fabs(o.thetadot_sq)) * thetadot_sign;
 
-  o.rdot_sq = (k * o.pt - h * o.pphi - rhosq * o.ptheta * o.ptheta) * delta / rhosq;
+  o.rdot_sq = (k * o.pt - h * o.pphi - rhosq * o.ptheta * o.ptheta) * (delta * inv_rhosq);
   o.pr = std::sqrt(std::fabs(o.rdot_sq)) * rdot_sign;
   return o;
 }

@@ -174,6 +174,11 @@ class GeodesicRates(NamedTuple):
     pphi: jnp.ndarray
     thetadot_sq: jnp.ndarray
     rdot_sq: jnp.ndarray
+    # geometry byproducts, exposed so per-step consumers (ergosphere /
+    # Killing-energy checks) don't pay sin/cos/rhosq again
+    sin_t: jnp.ndarray
+    cos_t: jnp.ndarray
+    rhosq: jnp.ndarray
 
 
 def geodesic_rates(r, theta, k, h, Q, rdot_sign, thetadot_sign, a) -> GeodesicRates:
@@ -189,14 +194,20 @@ def geodesic_rates(r, theta, k, h, Q, rdot_sign, thetadot_sign, a) -> GeodesicRa
     sin2 = sin_t * sin_t
     rhosq = r * r + (a * cos_t) * (a * cos_t)
     delta = r * r - 2.0 * r + a * a
+    # two reciprocals cover every division below (divides are the costliest
+    # VPU ops in the kernel after sin/cos; this runs 4x per RK4 step and
+    # 7x per DOPRI5 step). csrc/geodesic.cpp mirrors the exact op order so
+    # the cross-language fp agreement (tests/test_native.py) is preserved.
     inv_rhosq_delta = 1.0 / (rhosq * delta)
+    inv_sin = 1.0 / sin_t
+    inv_rhosq = delta * inv_rhosq_delta
 
     pt = ((rhosq * (r * r + a * a) + 2.0 * a * a * r * sin2) * k - 2.0 * a * r * h) * inv_rhosq_delta
-    pphi = (2.0 * a * r * sin2 * k + (rhosq - 2.0 * r) * h) * inv_rhosq_delta / sin2
+    pphi = (2.0 * a * r * sin2 * k + (rhosq - 2.0 * r) * h) * inv_rhosq_delta * (inv_sin * inv_sin)
 
-    cot_scaled = h * cos_t / sin_t
-    thetadot_sq = (Q + (k * a * cos_t + cot_scaled) * (k * a * cos_t - cot_scaled)) / (
-        rhosq * rhosq
+    cot_scaled = h * cos_t * inv_sin
+    thetadot_sq = (Q + (k * a * cos_t + cot_scaled) * (k * a * cos_t - cot_scaled)) * (
+        inv_rhosq * inv_rhosq
     )
     # sqrt(|x|) floored at the dtype's smallest normal: rays launched exactly
     # at a turning point (sin(beta) = 0 lamppost rays, y = 0 image rays) have
@@ -207,10 +218,11 @@ def geodesic_rates(r, theta, k, h, Q, rdot_sign, thetadot_sign, a) -> GeodesicRa
                        jnp.result_type(thetadot_sq))
     ptheta = jnp.sqrt(jnp.maximum(jnp.abs(thetadot_sq), tiny)) * thetadot_sign
 
-    rdot_sq = (k * pt - h * pphi - rhosq * ptheta * ptheta) * delta / rhosq
+    rdot_sq = (k * pt - h * pphi - rhosq * ptheta * ptheta) * (delta * inv_rhosq)
     pr = jnp.sqrt(jnp.maximum(jnp.abs(rdot_sq), tiny)) * rdot_sign
 
-    return GeodesicRates(pt, pr, ptheta, pphi, thetadot_sq, rdot_sq)
+    return GeodesicRates(pt, pr, ptheta, pphi, thetadot_sq, rdot_sq,
+                         sin_t, cos_t, rhosq)
 
 
 def momentum_from_consts(r, theta, k, h, Q, rdot_sign, thetadot_sign, a):

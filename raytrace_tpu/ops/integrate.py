@@ -144,16 +144,18 @@ def _k1_stage(st: RayBatch, spin):
         pr1,
         rates.ptheta,
         rates.pphi,
+        rates,
     )
 
 
-def _nonphysical_status(st, spin, pt1, pphi1, active):
-    """ERGO (p^t <= 0) and negative-Killing-energy flags (raytracer.cpp:263-273)."""
-    sin_t = jnp.sin(st.theta)
-    cos_t = jnp.cos(st.theta)
-    rhosq = st.r * st.r + (spin * cos_t) * (spin * cos_t)
-    killing = (1.0 - 2.0 * st.r / rhosq) * pt1 + (
-        2.0 * spin * st.r * sin_t * sin_t / rhosq
+def _nonphysical_status(st, spin, pt1, pphi1, active, rates):
+    """ERGO (p^t <= 0) and negative-Killing-energy flags (raytracer.cpp:263-273).
+
+    Reuses the k1 stage's sin/cos/rhosq (per-step hot path)."""
+    sin_t, rhosq = rates.sin_t, rates.rhosq
+    inv_rhosq = 1.0 / rhosq
+    killing = (1.0 - 2.0 * st.r * inv_rhosq) * pt1 + (
+        2.0 * spin * st.r * sin_t * sin_t * inv_rhosq
     ) * pphi1
     status = st.status
     status = status | _flag(active & (pt1 <= 0), RAY_STATUS_ERGO)
@@ -315,10 +317,11 @@ def _euler_rk4_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, meth
         pr1,
         ptheta1,
         pphi1,
+        rates1,
     ) = _k1_stage(st_eval, spin)
 
     advance = active & ~theta_flip
-    status = _nonphysical_status(st_eval, spin, pt1, pphi1, advance)
+    status = _nonphysical_status(st_eval, spin, pt1, pphi1, advance, rates1)
     st = st.replace(status=status)
 
     step = _base_step_size(st_eval, horizon, pt1, pr1, ptheta1, pphi1, rlim, ctrl)
@@ -393,10 +396,11 @@ def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active, s
         pr1,
         ptheta1,
         pphi1,
+        rates1,
     ) = _k1_stage(st_eval, spin)
 
     advance = active & ~theta_flip
-    st = st.replace(status=_nonphysical_status(st_eval, spin, pt1, pphi1, advance))
+    st = st.replace(status=_nonphysical_status(st_eval, spin, pt1, pphi1, advance, rates1))
 
     # Horizon step-cap: DOPRI5's large negative tableau coefficients can push
     # intermediate stages inside the horizon where the error estimator cannot
