@@ -52,7 +52,7 @@ def main():
         from raytrace_tpu.ops.pallas_kernel import trace_pallas_compacted
 
         run = lambda: trace_pallas_compacted(
-            rays, s, method="rk4", r_max=1000.0, steplim=steplim, phase_iters=4096
+            rays, s, method="rk4", r_max=1000.0, steplim=steplim, phase_iters=2048
         )
     else:
         run = lambda: trace_compacted(

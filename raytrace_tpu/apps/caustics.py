@@ -28,7 +28,7 @@ from raytrace_tpu.config import Config, apply_platform_overrides
 from raytrace_tpu.destinations import DiscWithISCO, FlatPlane, ThetaLimit
 from raytrace_tpu.geometry import isco_radius
 from raytrace_tpu.io import FITSOutput
-from raytrace_tpu.ops import StepControl, trace_compacted
+from raytrace_tpu.ops import StepControl, trace_auto
 from raytrace_tpu.ops.redshift import apply_redshift_dest, redshift_start
 from raytrace_tpu.rays import (
     RAY_STATUS_DEST,
@@ -162,7 +162,7 @@ def compute(
     method="rk45",
     steplim=None,
     ctrl=StepControl(),
-    trace_fn=trace_compacted,
+    trace_fn=trace_auto,
 ):
     """Trace the camera (bundles or plain grid) and build the caustic maps.
 

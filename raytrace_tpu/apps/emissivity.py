@@ -24,7 +24,7 @@ from raytrace_tpu.config import Config, apply_platform_overrides
 from raytrace_tpu.geometry import integrate_disc_area_bins, isco_radius
 from raytrace_tpu.geometry.kerr import bl_to_cartesian
 from raytrace_tpu.io import TextOutput
-from raytrace_tpu.ops import StepControl, trace_compacted
+from raytrace_tpu.ops import StepControl, trace_auto
 from raytrace_tpu.ops.reductions import bin_edges, radial_bin_profile
 from raytrace_tpu.ops.redshift import apply_redshift, range_phi, redshift_start
 from raytrace_tpu.sources import PointSourceGrid, point_source
@@ -44,7 +44,7 @@ def compute(
     method="rk45",
     steplim=None,
     ctrl=StepControl(),
-    trace_fn=trace_compacted,
+    trace_fn=trace_auto,
     variant="plain",  # "plain" (emissivity.cpp) | "rd" (emissivity_rd.cpp)
     theta_lim=jnp.pi / 2,
 ):

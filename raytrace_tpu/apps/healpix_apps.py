@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from raytrace_tpu.config import Config, apply_platform_overrides
 from raytrace_tpu.geometry import isco_radius, keplerian_omega
 from raytrace_tpu.io import TextOutput
-from raytrace_tpu.ops import trace_compacted
+from raytrace_tpu.ops import trace_auto
 from raytrace_tpu.ops.reductions import bin_edges, radial_bin_profile
 from raytrace_tpu.ops.redshift import apply_redshift, range_phi, redshift_start
 from raytrace_tpu.rays import RAY_STATUS_DEST, RAY_STATUS_HORIZON, RAY_STATUS_RLIM
@@ -31,7 +31,7 @@ def _trace(cfg, rays, spin):
     r_max = cfg.get("r_esc", float, 500.0)
     steplim = cfg.get("steplim", int, 20000)
     rays = redshift_start(rays, spin, V=cfg.get("V", float, 0.0))
-    out = trace_compacted(rays, spin, method=cfg.get("integrator", str, "rk45").lower(),
+    out = trace_auto(rays, spin, method=cfg.get("integrator", str, "rk45").lower(),
                           r_max=r_max, steplim=steplim)
     out = range_phi(out)
     return apply_redshift(out, spin, V=-1.0)

@@ -31,7 +31,7 @@ from raytrace_tpu.destinations import DiscWithISCO, FlatDisc, ThetaLimit
 from raytrace_tpu.geometry import isco_radius
 from raytrace_tpu.geometry.kerr import bl_to_cartesian
 from raytrace_tpu.io import FITSOutput
-from raytrace_tpu.ops import StepControl, trace_compacted
+from raytrace_tpu.ops import StepControl, trace_auto
 from raytrace_tpu.ops.redshift import (
     apply_redshift,
     apply_redshift_dest,
@@ -71,7 +71,7 @@ def compute(
     flip_image=True,
     steplim=None,
     ctrl=StepControl(),
-    trace_fn=trace_compacted,
+    trace_fn=trace_auto,
 ):
     """Trace the camera grid and accumulate the per-pixel disc maps.
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from raytrace_tpu.config import Config, apply_platform_overrides
 from raytrace_tpu.geometry import isco_radius, keplerian_omega
 from raytrace_tpu.io import FITSOutput, TextOutput
-from raytrace_tpu.ops import StepControl, trace_compacted
+from raytrace_tpu.ops import StepControl, trace_auto
 from raytrace_tpu.ops.redshift import apply_redshift, range_phi, redshift_start
 from raytrace_tpu.rays import RAY_STATUS_DEST, RAY_STATUS_HORIZON, RAY_STATUS_RLIM
 from raytrace_tpu.sources import (
@@ -101,7 +101,7 @@ def _trace_fates(cfg, rays, spin, grid):
     steplim = cfg.get("steplim", int, 20000)
     method = cfg.get("integrator", str, "rk45").lower()
     rays = redshift_start(rays, spin, V=cfg.get("V", float, 0.0))
-    out = trace_compacted(rays, spin, method=method, r_max=r_max, steplim=steplim)
+    out = trace_auto(rays, spin, method=method, r_max=r_max, steplim=steplim)
     out = range_phi(out)
     out = apply_redshift(out, spin, V=-1.0)
     st = np.asarray(out.status)

@@ -16,7 +16,7 @@ r = 5, theta = 1e-3 — integrator_perf_test.cpp:35-44) report
 
 Par keys (all optional): spin, source (t r theta phi), dcosalpha, dbeta,
 r_max, steplim, methods (space-separated subset of euler rk4 rk45),
-phase_iters, repeats.
+repeats.
 """
 
 from __future__ import annotations
@@ -28,14 +28,14 @@ import numpy as np
 import jax
 
 from raytrace_tpu.config import Config, apply_platform_overrides
-from raytrace_tpu.ops import StepControl, trace_compacted
+from raytrace_tpu.ops import StepControl, trace_auto
 from raytrace_tpu.rays import RAY_STATUS_STEPLIM
 from raytrace_tpu.sources import PointSourceGrid, point_source
 
 _FEVALS = {"euler": 1, "rk4": 4, "rk45": 6}
 
 
-def run_method(rays, spin, method, *, r_max, steplim, phase_iters, ctrl,
+def run_method(rays, spin, method, *, r_max, steplim, ctrl,
                repeats=1):
     """Time one integrator; returns a stats dict."""
     import jax.numpy as jnp
@@ -50,9 +50,8 @@ def run_method(rays, spin, method, *, r_max, steplim, phase_iters, ctrl,
     else:
         s = spin
 
-    run = lambda: trace_compacted(
-        rays, s, method=method, r_max=r_max, steplim=steplim,
-        phase_iters=phase_iters, ctrl=ctrl,
+    run = lambda: trace_auto(
+        rays, s, method=method, r_max=r_max, steplim=steplim, ctrl=ctrl,
     )
     out = run()
     _ = float(out.r.sum())  # block on the warm-up / compile
@@ -111,7 +110,6 @@ def main(argv=None):
     db = cfg.get("dbeta", float, 0.05)
     r_max = cfg.get("r_max", float, 1000.0)
     steplim = cfg.get("steplim", int, 30_000)
-    phase_iters = cfg.get("phase_iters", int, 2048)
     repeats = cfg.get("repeats", int, 1)
     methods = cfg.get("methods", str, "euler rk4 rk45").split()
 
@@ -124,7 +122,7 @@ def main(argv=None):
     results = []
     for m in methods:
         st = run_method(rays, spin, m, r_max=r_max, steplim=steplim,
-                        phase_iters=phase_iters, ctrl=ctrl, repeats=repeats)
+                        ctrl=ctrl, repeats=repeats)
         results.append(st)
         print(f"\n== {m} ==")
         print(f"  propagation wall time   {st['wall_s']*1e3:10.1f} ms"

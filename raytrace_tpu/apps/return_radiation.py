@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from raytrace_tpu.config import Config, apply_platform_overrides
 from raytrace_tpu.geometry import isco_radius, keplerian_omega
 from raytrace_tpu.io import TextOutput
-from raytrace_tpu.ops import StepControl, trace_compacted
+from raytrace_tpu.ops import StepControl, trace_auto
 from raytrace_tpu.ops.reductions import bin_edges, radial_bin_profile
 from raytrace_tpu.ops.redshift import apply_redshift, range_phi, redshift_start
 from raytrace_tpu.rays import RAY_STATUS_DEST, RAY_STATUS_HORIZON, RAY_STATUS_RLIM
@@ -59,7 +59,7 @@ def photon_fractions(
     the traced batch (for downstream binning)."""
     rays = disc_source_rays(r_launch, spin, grid)
     rays = redshift_start(rays, spin, V=keplerian_omega(r_launch, spin))
-    out = trace_compacted(rays, spin, method=method, r_max=r_esc, steplim=steplim, ctrl=ctrl)
+    out = trace_auto(rays, spin, method=method, r_max=r_esc, steplim=steplim, ctrl=ctrl)
     out = range_phi(out)
     out = apply_redshift(out, spin, V=-1.0)
 

@@ -266,7 +266,7 @@ class TestPerfHarness:
         rays = point_source((0.0, 5.0, 1e-3, 0.0), 0.0, SPIN,
                             PointSourceGrid.from_steps(0.35, 0.7))
         st = run_method(rays, SPIN, "rk4", r_max=100.0, steplim=5000,
-                        phase_iters=1024, ctrl=StepControl())
+                        ctrl=StepControl())
         assert st["n_rays"] > 0 and st["steps_total"] > 0
         assert st["median"] <= st["p90"] <= st["p99"] <= st["max"]
         assert st["fevals"] == 4 * st["steps_total"]
