@@ -25,6 +25,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from raytrace_tpu.config import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def main():
     from raytrace_tpu.ops import trace_compacted
@@ -52,7 +56,7 @@ def main():
         from raytrace_tpu.ops.pallas_kernel import trace_pallas_compacted
 
         run = lambda: trace_pallas_compacted(
-            rays, s, method="rk4", r_max=1000.0, steplim=steplim, phase_iters=2048
+            rays, s, method="rk4", r_max=1000.0, steplim=steplim
         )
     else:
         run = lambda: trace_compacted(

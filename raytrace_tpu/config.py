@@ -26,6 +26,7 @@ def apply_platform_overrides():
     this applies the choice at the config level and drops any
     already-initialised backends so it takes effect.
     """
+    enable_compilation_cache()
     want = os.environ.get("RT_PLATFORM")
     if not want:
         return
@@ -37,6 +38,27 @@ def apply_platform_overrides():
 
         clear_backends()
     except Exception:  # pragma: no cover
+        pass
+
+
+def enable_compilation_cache(path: str | None = None):
+    """Turn on JAX's persistent compilation cache (best effort).
+
+    Pallas/Mosaic TPU kernels can take minutes to compile (remote-compile
+    service); the persistent cache makes every process after the first
+    start instantly. Off when RT_COMPCACHE=0.
+    """
+    if os.environ.get("RT_COMPCACHE", "1") == "0":
+        return
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            path or os.environ.get("RT_COMPCACHE_DIR", "/tmp/raytrace_tpu_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax without the options
         pass
 
 

@@ -39,7 +39,14 @@ from raytrace_tpu.ops.integrate import (
 )
 from raytrace_tpu.rays import RAY_STATUS_STEPLIM, RayBatch
 
-_BLOCK = (8, 128)
+# Block shape: rows of the f32 (8,128) tile marched together. 8 rows = one
+# vreg per op (finest early-retirement granularity); larger blocks amortise
+# instruction issue over several vregs at the cost of coarser retirement —
+# tunable for A/B on hardware via RT_PALLAS_ROWS.
+import os as _os
+
+_ROWS = int(_os.environ.get("RT_PALLAS_ROWS", "8"))
+_BLOCK = (_ROWS, 128)
 _BLOCK_N = _BLOCK[0] * _BLOCK[1]
 
 # RayBatch fields marched by the kernel, in a fixed order. Sign/gate/bool
@@ -285,8 +292,8 @@ def trace_pallas_compacted(
     r_max=1000.0,
     steplim: int = 30_000,
     ctrl: StepControl = StepControl(),
-    phase_iters: int = 2048,
-    growth: int = 16,
+    phase_iters: int = 1024,
+    growth: int = 32,
 ) -> RayBatch:
     """Multi-phase pallas march with shrinking batch width.
 
@@ -304,7 +311,9 @@ def trace_pallas_compacted(
     sit behind a network tunnel where every eager op is a round trip, so
     the gather/scatter/mask ops are jitted pytree-wide (one dispatch each)
     and ``growth`` is steep so the canonical workload runs exactly two
-    phases. Iteration budgets live in SMEM scalars, so only each distinct
+    phases (schedule chosen by simulating alternatives against measured
+    per-ray step counts: 1024 + single tail issues ~27% fewer
+    lane-iterations than 2048-based schedules). Iteration budgets live in SMEM scalars, so only each distinct
     *width* compiles a kernel — a handful of power-of-two shapes ever,
     reused across calls. Semantics identical to trace_pallas(): per-ray
     step counts, statuses and the adaptive dt carry across phases.

@@ -214,3 +214,21 @@ def test_redshift_pipeline_smoke():
     assert 0.05 < g.min() < 1.0 < g.max() < 2.0
     phi = np.asarray(out.phi)[np.asarray(out.steps) > 0]
     assert (phi >= -np.pi).all() and (phi < np.pi).all()
+
+
+def test_trace_auto_dispatch():
+    """trace_auto: XLA path on CPU, identical results to trace_compacted;
+    unsupported destinations always fall back to the XLA path."""
+    from raytrace_tpu.destinations import FlatPlane
+    from raytrace_tpu.ops import trace_auto
+
+    rays = _lamppost(0.3)
+    a = trace_auto(rays, SPIN, method="rk4", r_max=R_MAX, steplim=STEPLIM_TEST)
+    b = trace_compacted(rays, SPIN, method="rk4", r_max=R_MAX, steplim=STEPLIM_TEST)
+    np.testing.assert_array_equal(np.asarray(a.status), np.asarray(b.status))
+    np.testing.assert_array_equal(np.asarray(a.r), np.asarray(b.r))
+
+    plane = FlatPlane(z_s=100.0, incl=jnp.float64(1.0), phi0=0.0)
+    out = trace_auto(rays, SPIN, method="rk4", dest=plane, r_max=R_MAX,
+                     steplim=STEPLIM_TEST)
+    assert (np.asarray(out.steps) != 0).any()
