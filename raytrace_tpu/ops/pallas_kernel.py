@@ -41,11 +41,13 @@ from raytrace_tpu.rays import RAY_STATUS_STEPLIM, RayBatch
 
 # Block shape: rows of the f32 (8,128) tile marched together. 8 rows = one
 # vreg per op (finest early-retirement granularity); larger blocks amortise
-# instruction issue over several vregs at the cost of coarser retirement —
-# tunable for A/B on hardware via RT_PALLAS_ROWS.
+# instruction issue over several vregs at the cost of coarser retirement.
+# Hardware A/B on the canonical workload (v5e): 8 rows 252-272M steps/s,
+# 16 rows 320M, 32 rows 259-300M, 64 rows 274M -> default 16. Tunable via
+# RT_PALLAS_ROWS.
 import os as _os
 
-_ROWS = int(_os.environ.get("RT_PALLAS_ROWS", "8"))
+_ROWS = int(_os.environ.get("RT_PALLAS_ROWS", "16"))
 _BLOCK = (_ROWS, 128)
 _BLOCK_N = _BLOCK[0] * _BLOCK[1]
 

@@ -89,3 +89,51 @@ def test_suppress_checkerboard_unit():
     sign2[3:, :] = -1.0
     _, _, n2 = suppress_checkerboard(np.ones((6, 6)), sign2)
     assert n2 == 0
+
+
+GOLDEN_BIN = "tests/golden/caustic_discplane_a0.998_i60_rk45.bin"
+
+
+def test_caustic_matches_reference_binary():
+    """Per-pixel comparison vs the reference caustic_discplane binary
+    (compiled from /root/reference with a raw-dump FITS shim; config:
+    dist 500, incl 60, spin 0.998, r_disc 20, 81x81 pixels, bundle mode
+    eps_frac 0.01, RK45). The bundle Jacobian uses central differences over
+    +-0.003 r_g satellite offsets, so sub-percent det J agreement requires
+    landing-point agreement at the 1e-5 level — this exercises the RK45
+    destination step-limit clamp and the crossing refinement end to end.
+
+    (The reference's RK4 destination propagator has no boundary step clamp
+    — raytracer.cpp:1036-1254 — so only its recommended RK45 caustic
+    configuration produces noise-free Jacobians to compare against.)"""
+    raw = np.fromfile(GOLDEN_BIN, "<f8")
+    n = 81 * 81
+    names = ["det_j", "sign_j", "order", "hit", "radius", "phi",
+             "x_disc", "y_disc", "redshift"]
+    ref = {nm: raw[i * n:(i + 1) * n].reshape(81, 81) for i, nm in enumerate(names)}
+
+    grid = ImagePlaneGrid.from_steps(-12.0, 12.0, 0.3, -12.0, 12.0, 0.3)
+    maps = compute(SPIN, 500.0, 60.0, grid, target="disc", r_disc=20.0,
+                   method="rk45", steplim=60000, bundle_eps_frac=0.01)
+
+    hit_m = maps["hit"].astype(bool)
+    hit_r = ref["hit"] > 0.5
+    assert (hit_m == hit_r).mean() > 0.985
+    both = hit_m & hit_r
+
+    for f in ("radius", "redshift"):
+        rel = np.abs(maps[f][both] / ref[f][both] - 1)
+        assert np.median(rel) < 1e-5, f"{f} median {np.median(rel)}"
+
+    om = maps["order"]
+    good = both & np.isfinite(om)
+    assert (om[good] == ref["order"][good]).mean() > 0.999
+
+    dm, dr = maps["det_j"], ref["det_j"]
+    ok = (both & np.isfinite(dm) & np.isfinite(dr)
+          & (dm != SENTINEL) & (np.abs(dr) < 1e29) & (om == ref["order"]))
+    assert ok.sum() > 3000
+    rel = np.abs(dm[ok] / dr[ok] - 1)
+    assert np.median(rel) < 0.02, f"det_j median {np.median(rel)}"
+    assert np.percentile(rel, 90) < 0.10
+    assert (np.sign(dm[ok]) == np.sign(dr[ok])).mean() > 0.99
