@@ -50,6 +50,9 @@ import os as _os
 _ROWS = int(_os.environ.get("RT_PALLAS_ROWS", "16"))
 _BLOCK = (_ROWS, 128)
 _BLOCK_N = _BLOCK[0] * _BLOCK[1]
+# Body sub-steps per while iteration (fewer cond reductions): measured on
+# v5e at 16 rows — 1: 285M, 2: 346M, 4: 324M steps/s -> default 2.
+_UNROLL = int(_os.environ.get("RT_PALLAS_UNROLL", "2"))
 
 # RayBatch fields marched by the kernel, in a fixed order. Sign/gate/bool
 # fields travel as f32/int32 to keep every ref a (8,128) tile.
@@ -120,16 +123,21 @@ def _make_kernel(method, dest_kind, ctrl: StepControl):
         def body(carry):
             st_i, step, it = carry
             st = to_bool(st_i)
-            active = st.active
-            if method == "rk45":
-                st, step = _rk45_body(
-                    st, spin, horizon, dest, r_max, steplim, ctrl, active, step
-                )
-            else:
-                st, _ = _euler_rk4_body(
-                    st, spin, horizon, dest, r_max, steplim, ctrl, method, active
-                )
-            return to_int(st), step, it + 1
+            # unrolled sub-steps amortise the loop's cond reduction and
+            # branch; the active mask is recomputed per sub-step so
+            # semantics are unchanged (a retired block just overshoots the
+            # cond check by < _UNROLL iterations)
+            for _ in range(_UNROLL):
+                active = st.active
+                if method == "rk45":
+                    st, step = _rk45_body(
+                        st, spin, horizon, dest, r_max, steplim, ctrl, active, step
+                    )
+                else:
+                    st, _ = _euler_rk4_body(
+                        st, spin, horizon, dest, r_max, steplim, ctrl, method, active
+                    )
+            return to_int(st), step, it + _UNROLL
 
         final, step_f, _ = lax.while_loop(
             cond, body, (st0, st0.dt, jnp.int32(0))

@@ -130,3 +130,26 @@ steplim = 4000
     assert out.shape == (20, 7)
     assert (out[:, 2] >= 0).all()
     assert np.nansum(out[:, 4]) > 0
+
+
+GOLDEN_RD = "tests/golden/emissivity_rd_a0.998_h5_g0.05.dat"
+
+
+def test_rd_variant_matches_reference_binary():
+    """The destination-API route (FlatDisc + RK4 + 4-velocity redshift,
+    emissivity_rd.cpp:99-116) against the reference emissivity_rd binary,
+    same count-gated methodology."""
+    ref = np.loadtxt(GOLDEN_RD)
+    g = dict(zip(["r", "area", "rays", "flux", "emis", "redshift", "time"], ref.T))
+    grd = PointSourceGrid.from_steps(0.05, 0.05, -0.995, 0.995, -np.pi, np.pi)
+    mine = compute(SPIN, SOURCE, V=0.0, grid=grd, r_max=1000.0, r_disc=500.0,
+                   n_r=100, logbin_r=True, gamma=2.0, steplim=20000,
+                   method="rk4", variant="rd")
+    gated = (
+        (g["rays"] >= 100) & (mine["rays"] >= 100)
+        & (np.abs(mine["rays"] - g["rays"]) < 0.10 * np.maximum(g["rays"], 1))
+    )
+    assert gated.sum() >= 10
+    for fld, tol in (("emis", 0.10), ("redshift", 0.005), ("time", 0.05)):
+        dev = np.abs(mine[fld][gated] / g[fld][gated] - 1.0)
+        assert dev.max() < tol, f"{fld}: max dev {dev.max():.4f}"
