@@ -137,3 +137,38 @@ def test_caustic_matches_reference_binary():
     assert np.median(rel) < 0.02, f"det_j median {np.median(rel)}"
     assert np.percentile(rel, 90) < 0.10
     assert (np.sign(dm[ok]) == np.sign(dr[ok])).mean() > 0.99
+
+
+GOLDEN_PLANE = "tests/golden/caustic_plane_a0.998_i30_rk45.bin"
+
+
+def test_caustic_plane_matches_reference_binary():
+    """Source-plane lensing maps vs the reference caustic_plane binary
+    (dist 500, incl 30, z_s 500, spin 0.998, 81x81, bundles, RK45)."""
+    raw = np.fromfile(GOLDEN_PLANE, "<f8")
+    n = 81 * 81
+    names = ["det_j", "sign_j", "order", "hit", "x_s", "y_s",
+             "rdot_flips", "equat_cross"]
+    ref = {nm: raw[i * n:(i + 1) * n].reshape(81, 81) for i, nm in enumerate(names)}
+
+    grid = ImagePlaneGrid.from_steps(-10.0, 10.0, 0.25, -10.0, 10.0, 0.25)
+    maps = compute(SPIN, 500.0, 30.0, grid, target="plane", z_s=500.0,
+                   method="rk45", steplim=100000, bundle_eps_frac=0.01)
+
+    hm = maps["hit"].astype(bool)
+    hr = ref["hit"] > 0.5
+    assert (hm == hr).mean() > 0.985
+    both = hm & hr
+    for f in ("x_s", "y_s"):
+        d = np.abs(maps[f][both] - ref[f][both])
+        assert np.median(d) < 1e-4, f"{f} median {np.median(d)}"
+    om = maps["order"]
+    good = both & np.isfinite(om)
+    assert (om[good] == ref["order"][good]).mean() > 0.999
+    dm, dr = maps["det_j"], ref["det_j"]
+    ok = (both & np.isfinite(dm) & np.isfinite(dr) & (dm != SENTINEL)
+          & (np.abs(dr) < 1e29) & (om == ref["order"]))
+    assert ok.sum() > 2000
+    rel = np.abs(dm[ok] / dr[ok] - 1)
+    assert np.median(rel) < 0.01 and np.percentile(rel, 90) < 0.05
+    assert (np.sign(dm[ok]) == np.sign(dr[ok])).mean() > 0.99
