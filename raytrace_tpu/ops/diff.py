@@ -132,20 +132,27 @@ def smooth_radial_observable(out: RayBatch, mask, weights, r0, sigma_ln=0.25):
     return jnp.sum(jnp.where(mask, w * w_safe, 0.0))
 
 
-def emissivity_gradient_pipeline(spin, h_source, gamma, grid, *, n_steps=3072,
-                                 r0=5.0, sigma_ln=0.3, r_max=500.0):
-    """End-to-end differentiable emissivity observable E(spin, h, gamma).
+def emissivity_observable_from_angles(spin, h_source, gamma, cosalpha, beta,
+                                      dead, *, n_steps=3072, r0=5.0,
+                                      sigma_ln=0.3, r_max=500.0):
+    """Differentiable emissivity observable for an explicit angle set.
 
-    Builds the lamppost, marches with the differentiable RK4 core, applies
-    the GR redshift, and evaluates the smooth radial emissivity observable.
-    All three arguments are differentiable; use jax.grad on this directly.
+    The per-ray kernel shared by ``emissivity_gradient_pipeline`` (full grid,
+    one device) and ``parallel.sharded_emissivity_gradient`` (angle arrays
+    sharded over the ray mesh axis): lamppost constants -> differentiable RK4
+    march -> GR redshift -> smooth radial emissivity observable. The angle
+    arrays are static grid geometry (not differentiated); spin / h / gamma
+    are the differentiable parameters.
     """
     from raytrace_tpu.geometry import isco_radius
     from raytrace_tpu.ops.redshift import apply_redshift, redshift_start
     from raytrace_tpu.rays import RAY_STATUS_DEST
-    from raytrace_tpu.sources import point_source
+    from raytrace_tpu.sources import point_source_from_angles
 
-    rays = point_source((0.0, h_source, 1e-3, 0.0), V=0.0, spin=spin, grid=grid)
+    rays = point_source_from_angles(
+        (0.0, h_source, 1e-3, 0.0), V=0.0, spin=spin,
+        cosalpha=cosalpha, beta=beta, dead=dead,
+    )
     rays = redshift_start(rays, spin, V=0.0)
     out = trace_scan(rays, spin, method="rk4", r_max=r_max, n_steps=n_steps)
     out = apply_redshift(out, spin, V=-1.0)
@@ -161,3 +168,20 @@ def emissivity_gradient_pipeline(spin, h_source, gamma, grid, *, n_steps=3072,
     hit = lax.stop_gradient(hit)
     g_safe = jnp.where(hit, out.redshift, 1.0)
     return smooth_radial_observable(out, hit, 1.0 / g_safe**gamma, r0, sigma_ln)
+
+
+def emissivity_gradient_pipeline(spin, h_source, gamma, grid, *, n_steps=3072,
+                                 r0=5.0, sigma_ln=0.3, r_max=500.0):
+    """End-to-end differentiable emissivity observable E(spin, h, gamma).
+
+    Builds the lamppost, marches with the differentiable RK4 core, applies
+    the GR redshift, and evaluates the smooth radial emissivity observable.
+    All three arguments are differentiable; use jax.grad on this directly.
+    """
+    from raytrace_tpu.sources import grid_angles
+
+    cosalpha, beta, dead = grid_angles(grid)
+    return emissivity_observable_from_angles(
+        spin, h_source, gamma, cosalpha, beta, dead,
+        n_steps=n_steps, r0=r0, sigma_ln=sigma_ln, r_max=r_max,
+    )

@@ -6,6 +6,7 @@ from raytrace_tpu.parallel.sharding import (
     shard_rays,
     sharded_trace,
     sharded_emissivity_bins,
+    sharded_emissivity_gradient,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "shard_rays",
     "sharded_trace",
     "sharded_emissivity_bins",
+    "sharded_emissivity_gradient",
 ]

@@ -146,3 +146,70 @@ def sharded_emissivity_bins(
         return merged
 
     return run(rays, spin)
+
+
+def sharded_emissivity_gradient(
+    spin,
+    h_source,
+    gamma,
+    grid,
+    mesh: Mesh,
+    *,
+    n_steps: int = 2048,
+    r0=5.0,
+    sigma_ln=0.3,
+    r_max=500.0,
+):
+    """Sharded gradient step: value and d/d(spin, h, gamma) of the smooth
+    emissivity observable, with the ray batch data-parallel over the mesh.
+
+    Each device differentiates its own shard of the pipeline (source
+    constants -> checkpointed RK4 march -> redshift -> observable) locally
+    on the backward sweep; the per-shard parameter gradients are then merged
+    with one psum over the ``rays`` axis — the gradient all-reduce rides ICI
+    within a slice and DCN across slices. This is the BASELINE.json north
+    star's multi-chip shape: embarrassingly parallel per-ray forward+backward
+    compute, collective traffic only for the (tiny) parameter gradients.
+
+    Returns (value, (d_spin, d_h, d_gamma)), all replicated.
+    """
+    from raytrace_tpu.ops.diff import emissivity_observable_from_angles
+    from raytrace_tpu.sources import grid_angles
+
+    n_dev = mesh.devices.size
+    cosalpha, beta, dead = grid_angles(grid)
+    rem = cosalpha.shape[0] % n_dev
+    if rem:
+        pad = n_dev - rem
+        # padding rows are dead (never traced, excluded from the observable
+        # by the steps > 0 mask); use the grid's top-edge angle values so the
+        # constants-of-motion math stays finite.
+        cosalpha = jnp.concatenate([cosalpha, jnp.full((pad,), cosalpha[-1])])
+        beta = jnp.concatenate([beta, jnp.full((pad,), beta[-1])])
+        dead = jnp.concatenate([dead, jnp.ones((pad,), dtype=bool)])
+
+    angle_sharding = NamedSharding(mesh, P("rays"))
+    cosalpha, beta, dead = (
+        jax.device_put(a, angle_sharding) for a in (cosalpha, beta, dead)
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("rays"), P("rays"), P("rays")),
+        out_specs=(P(), (P(), P(), P())),
+        check_vma=False,
+    )
+    def run(s, h, g, ca, be, dd):
+        f = lambda s_, h_, g_: emissivity_observable_from_angles(
+            s_, h_, g_, ca, be, dd,
+            n_steps=n_steps, r0=r0, sigma_ln=sigma_ln, r_max=r_max,
+        )
+        val, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(s, h, g)
+        return jax.lax.psum(val, "rays"), jax.lax.psum(grads, "rays")
+
+    ftype = jnp.result_type(float)  # f64 under x64, f32 on TPU
+    return run(
+        jnp.asarray(spin, ftype), jnp.asarray(h_source, ftype),
+        jnp.asarray(gamma, ftype), cosalpha, beta, dead,
+    )

@@ -1,7 +1,12 @@
 """Ray sources (L2): constructors that fill a RayBatch with initial
 positions, momenta and constants of motion."""
 
-from raytrace_tpu.sources.pointsource import point_source, PointSourceGrid
+from raytrace_tpu.sources.pointsource import (
+    grid_angles,
+    point_source,
+    point_source_from_angles,
+    PointSourceGrid,
+)
 from raytrace_tpu.sources.imageplane import image_plane, image_plane_bundles, ImagePlaneGrid
 from raytrace_tpu.sources.moving import (
     jet_point_source,
@@ -11,7 +16,9 @@ from raytrace_tpu.sources.moving import (
 from raytrace_tpu.sources.healpix_source import healpix_point_source
 
 __all__ = [
+    "grid_angles",
     "point_source",
+    "point_source_from_angles",
     "PointSourceGrid",
     "image_plane",
     "image_plane_bundles",

@@ -45,26 +45,12 @@ class PointSourceGrid:
         return self.n_cosalpha * self.n_beta
 
 
-def point_source(
-    pos,
-    V,
-    spin,
-    grid: PointSourceGrid,
-    E=1.0,
-    dtype=jnp.float64,
-) -> RayBatch:
-    """Build the lamppost ray batch.
+def grid_angles(grid: PointSourceGrid, dtype=jnp.float64):
+    """The grid's flat (cos alpha, beta, dead) arrays.
 
-    Args:
-      pos: (t, r, theta, phi) of the source.
-      V: angular velocity Omega = dphi/dt of the source frame (0 = static,
-         or pass keplerian_omega(r, spin) for an orbiting source).
-      spin: black-hole spin.
-      grid: direction grid. Rows at the top grid edge (cosalpha >=
-        cosalphamax or beta >= betamax) are dead padding with steps = -1,
-        exactly like the reference (pointsource.cpp:40-44), so histogram
-        denominators that count grid cells match.
-      E: emitted energy scale.
+    Exposed separately so sharded/differentiable pipelines can split the
+    (static, non-differentiable) direction grid across devices while the
+    (differentiable) source-frame construction happens per shard.
     """
     i = jnp.arange(grid.n_cosalpha)
     j = jnp.arange(grid.n_beta)
@@ -73,12 +59,34 @@ def point_source(
     cosalpha, beta = jnp.broadcast_arrays(cosalpha, beta)
     cosalpha = cosalpha.reshape(-1)
     beta = beta.reshape(-1)
-
     dead = (cosalpha >= grid.cosalphamax) | (beta >= grid.betamax)
+    return cosalpha, beta, dead
+
+
+def point_source_from_angles(
+    pos,
+    V,
+    spin,
+    cosalpha,
+    beta,
+    dead=None,
+    E=1.0,
+    dtype=jnp.float64,
+) -> RayBatch:
+    """Lamppost batch from explicit per-ray emission angles.
+
+    Same physics as ``point_source`` (reference pointsource.cpp:30-64) for an
+    arbitrary set of (cos alpha, beta) directions; differentiable w.r.t.
+    ``pos``, ``V`` and ``spin``. ``dead`` rows get steps = -1.
+    """
+    cosalpha = jnp.asarray(cosalpha, dtype=dtype)
+    beta = jnp.asarray(beta, dtype=dtype)
+    if dead is None:
+        dead = jnp.zeros(cosalpha.shape, dtype=bool)
     alpha = jnp.arccos(jnp.clip(cosalpha, -1.0, 1.0))
 
     t0, r0, th0, ph0 = (jnp.asarray(p, dtype=dtype) for p in pos)
-    n = grid.n_rays
+    n = cosalpha.shape[0]
     full = lambda v: jnp.full((n,), v, dtype=dtype)
 
     r = full(1.0) * r0
@@ -100,3 +108,28 @@ def point_source(
         alpha=cosalpha,  # reference stores cos(alpha) in .alpha (pointsource.cpp:48)
         beta=beta,
     )
+
+
+def point_source(
+    pos,
+    V,
+    spin,
+    grid: PointSourceGrid,
+    E=1.0,
+    dtype=jnp.float64,
+) -> RayBatch:
+    """Build the lamppost ray batch.
+
+    Args:
+      pos: (t, r, theta, phi) of the source.
+      V: angular velocity Omega = dphi/dt of the source frame (0 = static,
+         or pass keplerian_omega(r, spin) for an orbiting source).
+      spin: black-hole spin.
+      grid: direction grid. Rows at the top grid edge (cosalpha >=
+        cosalphamax or beta >= betamax) are dead padding with steps = -1,
+        exactly like the reference (pointsource.cpp:40-44), so histogram
+        denominators that count grid cells match.
+      E: emitted energy scale.
+    """
+    cosalpha, beta, dead = grid_angles(grid, dtype)
+    return point_source_from_angles(pos, V, spin, cosalpha, beta, dead, E, dtype)

@@ -12,6 +12,7 @@ from raytrace_tpu.parallel import (
     pad_rays,
     shard_rays,
     sharded_emissivity_bins,
+    sharded_emissivity_gradient,
     sharded_trace,
 )
 from raytrace_tpu.sources import PointSourceGrid, point_source
@@ -72,6 +73,30 @@ def test_sharded_bins_merge_with_psum():
         np.testing.assert_allclose(
             np.asarray(sums[k]), np.asarray(sums1[k]), rtol=1e-12
         )
+
+
+def test_sharded_gradients_match_single_device():
+    """psum-merged per-shard parameter gradients == one-device jax.grad of
+    the identical pipeline (the BASELINE north-star gradient all-reduce)."""
+    from raytrace_tpu.ops.diff import emissivity_gradient_pipeline
+    from raytrace_tpu.sources import PointSourceGrid
+
+    grid = PointSourceGrid.from_steps(0.3, 0.3, -0.9, 0.9, -3.0, 3.0)
+    mesh = make_ray_mesh()
+    val8, grads8 = sharded_emissivity_gradient(
+        SPIN, 5.0, 2.0, grid, mesh, n_steps=1024, r0=4.0
+    )
+
+    f = lambda s, h, g: emissivity_gradient_pipeline(s, h, g, grid, n_steps=1024, r0=4.0)
+    val1, grads1 = jax.value_and_grad(f, argnums=(0, 1, 2))(SPIN, 5.0, 2.0)
+
+    assert float(val1) > 0
+    # per-shard partial sums + psum tree reassociate the f64 reduction:
+    # agreement is to summation-order noise, not bitwise
+    np.testing.assert_allclose(float(val8), float(val1), rtol=1e-10)
+    for g8, g1 in zip(grads8, grads1):
+        assert np.isfinite(float(g8))
+        np.testing.assert_allclose(float(g8), float(g1), rtol=1e-6)
 
 
 def test_graft_entry_points():
