@@ -43,11 +43,19 @@ SENTINEL = 1e30
 
 def _order_map(phi_acc, rdot_flips, winding=2.0 * np.pi):
     """Image order: max of the phi-winding and radial-turning estimators
-    (caustic_discplane.cpp:184-202). The source-sphere app uses a pi
-    winding (caustic_sourceplane.cpp:28-31)."""
+    (caustic_discplane.cpp:184-202)."""
     phi_ord = np.floor(np.abs(phi_acc) / winding).astype(np.int32)
     r_ord = (rdot_flips // 2).astype(np.int32)
     return np.maximum(phi_ord, r_ord)
+
+
+def _order_map_sphere(phi_acc):
+    """Source-sphere image order (caustic_sourceplane.cpp:205-215): a
+    backward-traced direct-image ray naturally accumulates ~pi reaching the
+    far side, so order = max(floor(|phi_acc|/pi) - 1, 0); no radial-turning
+    estimator."""
+    phi_ord = np.floor(np.abs(phi_acc) / np.pi).astype(np.int32)
+    return np.maximum(phi_ord - 1, 0)
 
 
 def _jacobian_bundle(coords, valid, phi_acc, rdot_flips, eps, hit_centre):
@@ -119,6 +127,50 @@ def _jacobian_grid(xd, yd, valid, phi_acc, rdot_flips, dx, dy):
     det = ((xe - xw) / (2 * dx)) * ((yn - ys) / (2 * dy)) - (
         (xn - xs) / (2 * dy)
     ) * ((ye - yw) / (2 * dx))
+
+    det_map = np.full(det.shape, np.nan)
+    det_map = np.where(v & sats_ok & order_match, det, det_map)
+    det_map = np.where(v & sats_ok & ~order_match, SENTINEL, det_map)
+    sign_map = np.where(
+        np.isfinite(det_map) & (det_map != SENTINEL), np.sign(det_map), 0.0
+    )
+    return det_map, sign_map
+
+
+def _jacobian_grid_sphere(theta_s, phi_s, escaped, order, dx, dy):
+    """Source-sphere Jacobian J = d(theta_s, phi_s)/d(x, y) by grid-neighbour
+    central differences (caustic_sourceplane.cpp:244-305): defined only where
+    the pixel and its four cardinal neighbours escaped AND share the same
+    image order (SENTINEL at order boundaries = photon-ring critical curves);
+    each phi difference is wrapped into [-pi, pi] to cross the branch cut."""
+    nx, ny = theta_s.shape
+
+    def shift(a, di, dj, fill=np.nan):
+        out = np.full_like(a, fill, dtype=a.dtype if a.dtype.kind == "f" else None)
+        src = a[max(0, -di): nx - max(0, di), max(0, -dj): ny - max(0, dj)]
+        out[max(0, di): nx - max(0, -di), max(0, dj): ny - max(0, -dj)] = src
+        return out
+
+    wrap = lambda d: np.mod(d + np.pi, 2.0 * np.pi) - np.pi
+
+    te, tw = shift(theta_s, -1, 0), shift(theta_s, 1, 0)
+    tn, ts = shift(theta_s, 0, -1), shift(theta_s, 0, 1)
+    pe, pw = shift(phi_s, -1, 0), shift(phi_s, 1, 0)
+    pn, ps = shift(phi_s, 0, -1), shift(phi_s, 0, 1)
+    v = escaped.astype(bool)
+    ve, vw = shift(v, -1, 0, False), shift(v, 1, 0, False)
+    vn, vs = shift(v, 0, -1, False), shift(v, 0, 1, False)
+    oe, ow = shift(order, -1, 0, -99), shift(order, 1, 0, -99)
+    on, os_ = shift(order, 0, -1, -99), shift(order, 0, 1, -99)
+
+    sats_ok = ve & vw & vn & vs
+    order_match = (oe == order) & (ow == order) & (on == order) & (os_ == order)
+
+    dth_dx = (te - tw) / (2 * dx)
+    dth_dy = (tn - ts) / (2 * dy)
+    dph_dx = wrap(pe - pw) / (2 * dx)
+    dph_dy = wrap(pn - ps) / (2 * dy)
+    det = dth_dx * dph_dy - dth_dy * dph_dx
 
     det_map = np.full(det.shape, np.nan)
     det_map = np.where(v & sats_ok & order_match, det, det_map)
@@ -237,7 +289,10 @@ def compute(
         xd = theta
         yd = np.arctan2(np.sin(phi_acc), np.cos(phi_acc))
 
-    order = _order_map(phi_acc[0], flips[0], winding)
+    if target == "sphere":
+        order = _order_map_sphere(phi_acc[0])
+    else:
+        order = _order_map(phi_acc[0], flips[0], winding)
     hit = valid[0]
 
     maps = {
@@ -268,6 +323,11 @@ def compute(
         det_map, sign_map = _jacobian_bundle(
             (xd, yd), valid, phi_acc, flips, eps, hit
         )
+    elif target == "sphere":
+        det_map, sign_map = _jacobian_grid_sphere(
+            np.where(hit, xd[0], np.nan), np.where(hit, yd[0], np.nan),
+            hit, np.where(hit, order, -1), grid.dx, grid.dy,
+        )
     else:
         det_map, sign_map = _jacobian_grid(
             np.where(valid[0], xd[0], np.nan),
@@ -275,7 +335,11 @@ def compute(
             valid[0], phi_acc[0], flips[0], grid.dx, grid.dy,
         )
 
-    det_map, sign_map, n_sup = suppress_checkerboard(det_map, sign_map)
+    if target == "sphere":
+        # the reference sourceplane app has no checkerboard-suppression pass
+        n_sup = 0
+    else:
+        det_map, sign_map, n_sup = suppress_checkerboard(det_map, sign_map)
     maps["det_j"] = det_map
     maps["sign_j"] = sign_map
     maps["n_suppressed"] = n_sup
