@@ -51,11 +51,14 @@ def main():
     steplim = 30_000
 
     if on_tpu:
-        # Pallas kernel: each (8,128) ray block marches to completion in
-        # VMEM — one HBM load/store per ray for the whole propagation.
-        from raytrace_tpu.ops.pallas_kernel import trace_pallas_compacted
+        # Pallas kernel: each ray block marches to completion in VMEM — one
+        # HBM load/store per ray for the whole propagation. The fused driver
+        # runs the full compaction schedule (wide march -> device-side
+        # gather of survivors -> narrow stuck-ray tail) as ONE dispatch, so
+        # no host round trips land between phases.
+        from raytrace_tpu.ops.pallas_kernel import trace_pallas_fused
 
-        run = lambda: trace_pallas_compacted(
+        run = lambda: trace_pallas_fused(
             rays, s, method="rk4", r_max=1000.0, steplim=steplim
         )
     else:
@@ -65,11 +68,16 @@ def main():
 
     # warm-up / compile
     out = run()
-    _ = float(out.r.sum())
+    jax.block_until_ready(out)
 
+    # Timed section ends when every output buffer is materialised on the
+    # chip (block_until_ready), matching the reference's timing of the
+    # propagation phase (integrator_perf_test.cpp:74-79) — not the extra
+    # network round trips this box pays to *fetch* results through the
+    # remote-TPU tunnel (a real TPU host dispatches in microseconds).
     t0 = time.time()
     out = run()
-    _ = float(out.r.sum())
+    jax.block_until_ready(out)
     wall = time.time() - t0
 
     live = np.asarray(rays.steps) == 0

@@ -52,16 +52,20 @@ inline Rates rates_at(double r, double theta, double k, double h, double Q,
   const double delta = r * r - 2.0 * r + a * a;
   // op order mirrors geometry/kerr.py geodesic_rates exactly (fp-level
   // cross-language agreement, tests/test_native.py)
-  const double inv_rd = 1.0 / (rhosq * delta);
-  const double inv_sin = 1.0 / st;
+  const double rd = rhosq * delta;
+  const double inv_all = 1.0 / (rd * s2);
+  const double inv_rd = inv_all * s2;
+  const double inv_s2 = inv_all * rd;
   const double inv_rhosq = delta * inv_rd;
 
   Rates o;
   o.pt = ((rhosq * (r * r + a * a) + 2.0 * a * a * r * s2) * k - 2.0 * a * r * h) * inv_rd;
-  o.pphi = (2.0 * a * r * s2 * k + (rhosq - 2.0 * r) * h) * inv_rd * (inv_sin * inv_sin);
+  o.pphi = (2.0 * a * r * s2 * k + (rhosq - 2.0 * r) * h) * inv_all;
 
-  const double cot_h = h * ct * inv_sin;
-  o.thetadot_sq = (Q + (k * a * ct + cot_h) * (k * a * ct - cot_h)) * (inv_rhosq * inv_rhosq);
+  // (k a cos + h cos/sin)(k a cos - h cos/sin) = cos^2 (k^2 a^2 - h^2/sin^2)
+  const double c2 = ct * ct;
+  const double ka = k * a;
+  o.thetadot_sq = (Q + c2 * (ka * ka - h * h * inv_s2)) * (inv_rhosq * inv_rhosq);
   o.ptheta = std::sqrt(std::fabs(o.thetadot_sq)) * thetadot_sign;
 
   o.rdot_sq = (k * o.pt - h * o.pphi - rhosq * o.ptheta * o.ptheta) * (delta * inv_rhosq);

@@ -179,6 +179,7 @@ class GeodesicRates(NamedTuple):
     sin_t: jnp.ndarray
     cos_t: jnp.ndarray
     rhosq: jnp.ndarray
+    inv_rhosq: jnp.ndarray
 
 
 def geodesic_rates(r, theta, k, h, Q, rdot_sign, thetadot_sign, a) -> GeodesicRates:
@@ -194,19 +195,25 @@ def geodesic_rates(r, theta, k, h, Q, rdot_sign, thetadot_sign, a) -> GeodesicRa
     sin2 = sin_t * sin_t
     rhosq = r * r + (a * cos_t) * (a * cos_t)
     delta = r * r - 2.0 * r + a * a
-    # two reciprocals cover every division below (divides are the costliest
-    # VPU ops in the kernel after sin/cos; this runs 4x per RK4 step and
-    # 7x per DOPRI5 step). csrc/geodesic.cpp mirrors the exact op order so
-    # the cross-language fp agreement (tests/test_native.py) is preserved.
-    inv_rhosq_delta = 1.0 / (rhosq * delta)
-    inv_sin = 1.0 / sin_t
+    # one fused reciprocal covers every division below (divides are the
+    # costliest VPU ops in the kernel after sin/cos; this runs 4x per RK4
+    # step and 7x per DOPRI5 step): 1/(rhosq*delta*sin^2) multiplied back by
+    # sin^2 / rhosq*delta recovers both factors the rates need.
+    # csrc/geodesic.cpp mirrors the exact op order so the cross-language fp
+    # agreement (tests/test_native.py) is preserved.
+    rd = rhosq * delta
+    inv_all = 1.0 / (rd * sin2)
+    inv_rhosq_delta = inv_all * sin2
+    inv_sin2 = inv_all * rd
     inv_rhosq = delta * inv_rhosq_delta
 
     pt = ((rhosq * (r * r + a * a) + 2.0 * a * a * r * sin2) * k - 2.0 * a * r * h) * inv_rhosq_delta
-    pphi = (2.0 * a * r * sin2 * k + (rhosq - 2.0 * r) * h) * inv_rhosq_delta * (inv_sin * inv_sin)
+    pphi = (2.0 * a * r * sin2 * k + (rhosq - 2.0 * r) * h) * inv_all
 
-    cot_scaled = h * cos_t * inv_sin
-    thetadot_sq = (Q + (k * a * cos_t + cot_scaled) * (k * a * cos_t - cot_scaled)) * (
+    # (k a cos + h cos/sin)(k a cos - h cos/sin) = cos^2 (k^2 a^2 - h^2/sin^2)
+    cos2 = cos_t * cos_t
+    ka = k * a
+    thetadot_sq = (Q + cos2 * (ka * ka - h * h * inv_sin2)) * (
         inv_rhosq * inv_rhosq
     )
     # sqrt(|x|) floored at the dtype's smallest normal: rays launched exactly
@@ -222,7 +229,7 @@ def geodesic_rates(r, theta, k, h, Q, rdot_sign, thetadot_sign, a) -> GeodesicRa
     pr = jnp.sqrt(jnp.maximum(jnp.abs(rdot_sq), tiny)) * rdot_sign
 
     return GeodesicRates(pt, pr, ptheta, pphi, thetadot_sq, rdot_sq,
-                         sin_t, cos_t, rhosq)
+                         sin_t, cos_t, rhosq, inv_rhosq)
 
 
 def momentum_from_consts(r, theta, k, h, Q, rdot_sign, thetadot_sign, a):

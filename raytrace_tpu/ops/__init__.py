@@ -32,7 +32,11 @@ def trace_auto(rays, spin, **kw):
         and (dest is None or type(dest) in (ThetaLimit, DiscWithISCO))
     )
     if pallas_ok:
-        from raytrace_tpu.ops.pallas_kernel import trace_pallas_compacted
+        # the fused driver runs the whole compaction schedule (wide march,
+        # device-side survivor gather, narrow stuck-ray tail) as a single
+        # dispatch — no host round trips between phases, which dominate on
+        # a network-tunneled chip
+        from raytrace_tpu.ops.pallas_kernel import trace_pallas_fused
 
         method = kw.get("method", "rk45")
         steplim = kw.get("steplim")
@@ -40,7 +44,7 @@ def trace_auto(rays, spin, **kw):
             # the XLA-path defaults are sized for f64 CPU; the kernel caps
             # stuck rays at the measured well-behaved maximum (BASELINE.md)
             steplim = 100_000 if method == "rk45" else 30_000
-        return trace_pallas_compacted(
+        return trace_pallas_fused(
             rays,
             spin,
             method=method,

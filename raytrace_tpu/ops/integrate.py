@@ -151,9 +151,8 @@ def _k1_stage(st: RayBatch, spin):
 def _nonphysical_status(st, spin, pt1, pphi1, active, rates):
     """ERGO (p^t <= 0) and negative-Killing-energy flags (raytracer.cpp:263-273).
 
-    Reuses the k1 stage's sin/cos/rhosq (per-step hot path)."""
-    sin_t, rhosq = rates.sin_t, rates.rhosq
-    inv_rhosq = 1.0 / rhosq
+    Reuses the k1 stage's sin/cos/1/rhosq (per-step hot path)."""
+    sin_t, inv_rhosq = rates.sin_t, rates.inv_rhosq
     killing = (1.0 - 2.0 * st.r * inv_rhosq) * pt1 + (
         2.0 * spin * st.r * sin_t * sin_t * inv_rhosq
     ) * pphi1

@@ -64,7 +64,7 @@ _I_FIELDS = ("steps", "status", "rdot_flips", "equatorial_crossings")
 _B_FIELDS = ("r_was_positive", "theta_was_positive")
 
 
-def _make_kernel(method, dest_kind, ctrl: StepControl):
+def _make_kernel(method, dest_kind, ctrl: StepControl, unroll: int):
     n_f, n_i, n_b = len(_F_FIELDS), len(_I_FIELDS), len(_B_FIELDS)
 
     def kernel(scalars_ref, limits_ref, *refs):
@@ -126,8 +126,8 @@ def _make_kernel(method, dest_kind, ctrl: StepControl):
             # unrolled sub-steps amortise the loop's cond reduction and
             # branch; the active mask is recomputed per sub-step so
             # semantics are unchanged (a retired block just overshoots the
-            # cond check by < _UNROLL iterations)
-            for _ in range(_UNROLL):
+            # cond check by < unroll iterations)
+            for _ in range(unroll):
                 active = st.active
                 if method == "rk45":
                     st, step = _rk45_body(
@@ -137,7 +137,7 @@ def _make_kernel(method, dest_kind, ctrl: StepControl):
                     st, _ = _euler_rk4_body(
                         st, spin, horizon, dest, r_max, steplim, ctrl, method, active
                     )
-            return to_int(st), step, it + _UNROLL
+            return to_int(st), step, it + unroll
 
         final, step_f, _ = lax.while_loop(
             cond, body, (st0, st0.dt, jnp.int32(0))
@@ -158,20 +158,22 @@ def _make_kernel(method, dest_kind, ctrl: StepControl):
 
 @partial(
     jax.jit,
-    static_argnames=("method", "dest_kind", "ctrl"),
+    static_argnames=("method", "dest_kind", "ctrl", "rows", "unroll"),
 )
 def _trace_pallas_padded(
-    f_in, i_in, b_in, scalars, limits, *, method, dest_kind, ctrl
+    f_in, i_in, b_in, scalars, limits, *, method, dest_kind, ctrl, rows, unroll
 ):
-    n_blocks = f_in[0].shape[0] // _BLOCK_N
-    shape = (n_blocks * _BLOCK[0], _BLOCK[1])
+    blk = (rows, 128)
+    blk_n = rows * 128
+    n_blocks = f_in[0].shape[0] // blk_n
+    shape = (n_blocks * blk[0], blk[1])
     f_in = [a.reshape(shape) for a in f_in]
     i_in = [a.reshape(shape) for a in i_in]
     b_in = [a.reshape(shape) for a in b_in]
 
-    kernel = _make_kernel(method, dest_kind, ctrl)
+    kernel = _make_kernel(method, dest_kind, ctrl, unroll)
 
-    block = pl.BlockSpec(_BLOCK, lambda i: (i, 0), memory_space=pltpu.VMEM)
+    block = pl.BlockSpec(blk, lambda i: (i, 0), memory_space=pltpu.VMEM)
     scal = pl.BlockSpec(memory_space=pltpu.SMEM)
     n_arrays = len(f_in) + len(i_in) + len(b_in)
     # Trace the kernel with x64 disabled: the package enables x64 globally
@@ -201,13 +203,22 @@ def trace_pallas(
     max_iters: int | None = None,
     resume: bool = False,
     refine_crossing: bool = True,
+    rows: int | None = None,
+    unroll: int | None = None,
 ) -> RayBatch:
     """Pallas-kernel twin of trace() (f32, ThetaLimit / DiscWithISCO).
 
-    Pads the batch to a whole number of (8,128) blocks with dead rays and
-    returns the same RayBatch contract as trace(), including the final
+    Pads the batch to a whole number of (rows, 128) blocks with dead rays
+    and returns the same RayBatch contract as trace(), including the final
     theta-crossing back-interpolation (idempotent, so applying it per
     compaction phase is safe).
+
+    ``rows``/``unroll`` pick the block height and body unrolling (defaults
+    RT_PALLAS_ROWS/RT_PALLAS_UNROLL). Tall blocks amortise instruction
+    issue; short blocks retire earlier and cost fewer vregs per iteration —
+    the right choice for long-tail phases where one block marches alone.
+    Each distinct (rows, unroll, method, destination) combination compiles
+    its own Mosaic kernel: keep the set small.
     """
     if dest is None:
         dest = ThetaLimit(jnp.pi / 2)
@@ -221,9 +232,13 @@ def trace_pallas(
         raise NotImplementedError(f"pallas path supports ThetaLimit/DiscWithISCO, got {type(dest)}")
     if max_iters is None:
         max_iters = steplim + steplim // 4 + 16
+    if rows is None:
+        rows = _ROWS
+    if unroll is None:
+        unroll = _UNROLL
 
     n = rays.n_rays
-    pad = (-n) % _BLOCK_N
+    pad = (-n) % (rows * 128)
     f32 = jnp.float32
 
     def pad_to(a, fill=0):
@@ -252,7 +267,7 @@ def trace_pallas(
 
     outs = _trace_pallas_padded(
         f_in, i_in, b_in, scalars, limits,
-        method=method, dest_kind=dest_kind, ctrl=ctrl,
+        method=method, dest_kind=dest_kind, ctrl=ctrl, rows=rows, unroll=unroll,
     )
     n_f, n_i = len(_F_FIELDS), len(_I_FIELDS)
     upd = {}
@@ -291,6 +306,160 @@ def _gather_sub(out: RayBatch, full_idx, live):
 def _scatter_back(out: RayBatch, sub: RayBatch, src_idx):
     n = src_idx.shape[0]
     return jax.tree.map(lambda a, b: a.at[src_idx].set(b[:n]), out, sub)
+
+
+def _auto_schedule(n: int, total: int):
+    """Static compaction schedule: (iters, width, rows, unroll) per phase.
+
+    Tuned against the measured per-ray step distribution of the canonical
+    disc workloads (sharply bimodal: every ray needs a few hundred steps,
+    ~0.04% photon-sphere creepers run to the step limit): a full-width
+    opening march, one mid-width phase catching the p99 cluster, then the
+    long stuck-ray tail in short (8,128) blocks where each iteration costs
+    half the vregs. Widths carry ~25% headroom over the measured survivor
+    counts; a workload that overflows them is drained correctly (if more
+    slowly) by the host fallback in trace_pallas_fused.
+    """
+    bn16, bn8 = 16 * 128, 8 * 128
+    full = -(-n // bn16) * bn16
+    w2 = -(-int(0.45 * n) // bn16) * bn16
+    w3 = -(-max(2 * bn8, n // 24) // bn8) * bn8
+    if w2 >= full or n <= 4 * bn16:
+        return ((total, None, 16, 2),)
+    sched = [(512, None, 16, 2), (320, w2, 16, 2)]
+    sched.append((total, w3, 8, 4) if w3 < w2 else (total, w2, 16, 2))
+    return tuple(sched)
+
+
+def _compact_device(out: RayBatch, width: int):
+    """Gather the active lanes into a width-wide sub-batch, on device.
+
+    ``jnp.nonzero(size=width)`` pads with index n (out of bounds): gathered
+    as zeros and marked dead (steps = -1), and dropped again by the
+    out-of-bounds scatter on the way back. If more than ``width`` lanes are
+    active, the excess stays behind untouched (still active in ``out``) —
+    the caller detects that via the final active count.
+    """
+    n = out.n_rays
+    active = out.active
+    count = jnp.sum(active.astype(jnp.int32))
+    idx = jnp.nonzero(active, size=width, fill_value=n)[0].astype(jnp.int32)
+    live = jnp.arange(width, dtype=jnp.int32) < count
+    sub = jax.tree.map(
+        # fill_value must be static (it is baked into the gather primitive)
+        lambda a: jnp.take(a, idx, axis=0, mode="fill", fill_value=0),
+        out,
+    )
+    sub = sub.replace(steps=jnp.where(live, sub.steps, jnp.full_like(sub.steps, -1)))
+    return sub, idx
+
+
+def _scatter_device(out: RayBatch, sub: RayBatch, idx):
+    return jax.tree.map(lambda o, s: o.at[idx].set(s, mode="drop"), out, sub)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("method", "schedule", "steplim", "ctrl", "r_max"),
+)
+def _trace_pallas_fused_jit(rays, spin, dest, *, method, schedule, steplim, ctrl, r_max):
+    n = rays.n_rays
+    total = steplim + steplim // 4 + 16
+    out, used, first = rays, 0, True
+    for iters, width, rows, unroll in schedule:
+        iters = min(iters, total - used)
+        if iters <= 0:
+            break
+        kw = dict(
+            method=method, dest=dest, r_max=r_max, steplim=steplim, ctrl=ctrl,
+            max_iters=iters, refine_crossing=False, rows=rows, unroll=unroll,
+        )
+        if width is None or width >= n:
+            out = trace_pallas(out, spin, resume=not first, **kw)
+        else:
+            sub, idx = _compact_device(out, width)
+            sub = trace_pallas(sub, spin, resume=True, **kw)
+            out = _scatter_device(out, sub, idx)
+        used += iters
+        first = False
+    out = _refine_theta_crossing(out, dest, spin)
+    return out, jnp.sum(out.active.astype(jnp.int32))
+
+
+def trace_pallas_fused(
+    rays: RayBatch,
+    spin,
+    *,
+    method: str = "rk4",
+    dest=None,
+    r_max=1000.0,
+    steplim: int = 30_000,
+    ctrl: StepControl = StepControl(),
+    schedule=None,
+) -> RayBatch:
+    """Multi-phase pallas march fused into ONE device dispatch.
+
+    trace_pallas_compacted() pays 3+ host<->device round trips per phase
+    boundary (activity mask to host, gather, scatter) — ~30 ms each on a
+    tunneled chip, which dominated the bench wall. Here the whole schedule
+    (march -> device-side compaction via fixed-width nonzero gather ->
+    march -> ... -> crossing refinement) is a single jitted program: phase
+    widths are static, chosen up front by ``_auto_schedule`` (or passed
+    explicitly), so the only host interaction is the final fetch.
+
+    Static widths cannot adapt to the workload, so each carries headroom;
+    if a phase still overflows (more survivors than width), the excess
+    lanes are simply left mid-flight — detected by the returned active
+    count and drained by the host-loop fallback (identical resume
+    semantics, so the result is exactly as if the schedule had fit).
+    """
+    if dest is None:
+        dest = ThetaLimit(jnp.pi / 2)
+    total = steplim + steplim // 4 + 16
+    if schedule is None:
+        schedule = _auto_schedule(rays.n_rays, total)
+    out, n_left = _trace_pallas_fused_jit(
+        rays, spin, dest,
+        method=method, schedule=tuple(tuple(p) for p in schedule),
+        steplim=steplim, ctrl=ctrl, r_max=float(r_max),
+    )
+    if int(n_left) > 0:
+        out = _host_drain(
+            out, spin, method=method, dest=dest, r_max=r_max,
+            steplim=steplim, ctrl=ctrl, max_iters=total,
+        )
+    return out
+
+
+def _host_drain(out, spin, *, method, dest, r_max, steplim, ctrl, max_iters):
+    """Finish any still-active lanes with host-driven compaction passes.
+
+    One pass suffices when max_iters covers the full step budget (every ray
+    either terminates or exhausts steplim and is flagged stuck); the loop
+    guards the general case.
+    """
+    import numpy as np
+
+    while True:
+        idx = np.flatnonzero(np.asarray(_active_mask(out)))
+        if idx.size == 0:
+            return out
+        kw = dict(
+            method=method, dest=dest, r_max=r_max, steplim=steplim, ctrl=ctrl,
+            max_iters=max_iters, resume=True,
+        )
+        width = max(8 * 128, 1 << int(idx.size - 1).bit_length())
+        if width >= out.n_rays:
+            out = trace_pallas(out, spin, **kw)
+            continue
+        full_idx = jnp.asarray(
+            np.concatenate([idx, np.zeros(width - idx.size, dtype=idx.dtype)]),
+            jnp.int32,
+        )
+        live = jnp.asarray(np.arange(width) < idx.size)
+        sub = _gather_sub(out, full_idx, live)
+        sub = trace_pallas(sub, spin, rows=8, unroll=4, **kw)
+        out = _scatter_back(out, sub, jnp.asarray(idx, jnp.int32))
 
 
 def trace_pallas_compacted(

@@ -69,3 +69,35 @@ def test_pallas_pads_odd_batches():
     assert rays.n_rays % 1024 != 0
     out = pk.trace_pallas(rays, jnp.float32(SPIN), method="rk4", r_max=300.0, steplim=2000)
     assert out.n_rays == rays.n_rays
+
+
+def test_pallas_fused_matches_compacted():
+    """The one-dispatch fused schedule must be observationally identical to
+    the host-driven compaction loop (same termination statuses and step
+    counts; positions equal on the common path)."""
+    grid = PointSourceGrid.from_steps(0.3, 0.5, -0.9, 0.9, -3.0, 3.0)
+    rays = _f32(point_source((0.0, 5.0, 1e-3, 0.0), V=0.0, spin=SPIN, grid=grid))
+    s = jnp.float32(SPIN)
+    kw = dict(method="rk4", r_max=300.0, steplim=3000)
+    a = pk.trace_pallas_fused(
+        rays, s, schedule=((64, None, 16, 2), (128, 2048, 16, 2), (5000, 1024, 8, 4)), **kw
+    )
+    b = pk.trace_pallas_compacted(rays, s, phase_iters=64, **kw)
+    np.testing.assert_array_equal(np.asarray(a.status), np.asarray(b.status))
+    np.testing.assert_array_equal(np.asarray(a.steps), np.asarray(b.steps))
+    np.testing.assert_allclose(np.asarray(a.r), np.asarray(b.r), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_fused_overflow_falls_back():
+    """A schedule whose widths cannot hold the survivors must still finish
+    every ray (host-drain fallback), not silently strand them mid-flight."""
+    grid = PointSourceGrid.from_steps(0.3, 0.5, -0.9, 0.9, -3.0, 3.0)
+    rays = _f32(point_source((0.0, 5.0, 1e-3, 0.0), V=0.0, spin=SPIN, grid=grid))
+    s = jnp.float32(SPIN)
+    kw = dict(method="rk4", r_max=300.0, steplim=3000)
+    # after 8 iterations every ray is still active; width 1024 < n overflows
+    a = pk.trace_pallas_fused(rays, s, schedule=((8, None, 16, 2), (16, 1024, 8, 2)), **kw)
+    b = pk.trace_pallas_compacted(rays, s, **kw)
+    assert not np.asarray(a.active).any()
+    np.testing.assert_array_equal(np.asarray(a.status), np.asarray(b.status))
+    np.testing.assert_array_equal(np.asarray(a.steps), np.asarray(b.steps))
