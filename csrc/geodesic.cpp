@@ -17,8 +17,10 @@
 // C ABI, struct-of-arrays in/out, driven through ctypes
 // (raytrace_tpu/native/__init__.py).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <limits>
 
 namespace {
 
@@ -47,7 +49,9 @@ struct Rates {
 inline Rates rates_at(double r, double theta, double k, double h, double Q,
                       double rdot_sign, double thetadot_sign, double a) {
   const double st = std::sin(theta), ct = std::cos(theta);
-  const double s2 = st * st;
+  // sin^2 floored at the smallest normal, mirroring geometry/kerr.py (keeps
+  // pt/pr finite for h = 0 axis evaluations; no physical ray is affected)
+  const double s2 = std::max(st * st, std::numeric_limits<double>::min());
   const double rhosq = r * r + a * a * ct * ct;
   const double delta = r * r - 2.0 * r + a * a;
   // op order mirrors geometry/kerr.py geodesic_rates exactly (fp-level

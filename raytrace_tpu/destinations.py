@@ -104,9 +104,7 @@ class DiscWithISCO(Destination):
         return inside & outer_ok
 
     def reached(self, r, theta, phi, prev_theta):
-        tl = jnp.abs(self.theta_lim) * jnp.sign(self.theta_lim)
-        tl_pos = self.theta_lim > 0
-        lim = jnp.where(tl_pos, self.theta_lim, -self.theta_lim)
+        lim = jnp.where(self.theta_lim > 0, self.theta_lim, -self.theta_lim)
         crossed = ((prev_theta < lim) & (theta >= lim)) | (
             (prev_theta > lim) & (theta <= lim)
         )

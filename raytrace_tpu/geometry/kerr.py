@@ -201,6 +201,15 @@ def geodesic_rates(r, theta, k, h, Q, rdot_sign, thetadot_sign, a) -> GeodesicRa
     # sin^2 / rhosq*delta recovers both factors the rates need.
     # csrc/geodesic.cpp mirrors the exact op order so the cross-language fp
     # agreement (tests/test_native.py) is preserved.
+    # sin2 floored at the dtype's smallest normal: at exactly sin^2 = 0
+    # (polar-axis evaluation of an h = 0 ray) the fused reciprocal would be
+    # inf and contaminate pt/pr with inf*0 = NaN; the floor confines the
+    # genuine pole singularity to pphi/thetadot_sq (which go ~1/tiny and are
+    # handled by the turning-point bookkeeping) exactly as the unfused
+    # 1/(rhosq*delta) form did. No physical ray changes: sin2 > tiny
+    # everywhere off the axis.
+    tiny0 = jnp.asarray(jnp.finfo(jnp.result_type(sin2)).tiny, jnp.result_type(sin2))
+    sin2 = jnp.maximum(sin2, tiny0)
     rd = rhosq * delta
     inv_all = 1.0 / (rd * sin2)
     inv_rhosq_delta = inv_all * sin2

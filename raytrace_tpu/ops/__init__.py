@@ -13,29 +13,37 @@ from raytrace_tpu.ops.reductions import radial_bin_profile, pixel_accumulate
 def trace_auto(rays, spin, **kw):
     """Route a propagation to the fastest path for the active backend.
 
-    On an accelerator backend, supported configurations (ThetaLimit /
-    DiscWithISCO destination, no boundary override) run through the Pallas
-    kernel — the whole march in VMEM, f32 — with the multi-phase long-tail
-    compaction; everything else (CPU, exotic destinations, neutron-star
-    boundaries) takes the XLA lock-step path, f64 on CPU. Accepts the
-    trace_compacted keyword set.
+    On an accelerator backend, every destination the framework ships
+    (ThetaLimit / DiscWithISCO / FlatPlane / SphericalShell, with or
+    without a boundary override) runs through the Pallas kernel — the
+    whole march in VMEM, f32 — with the fused multi-phase long-tail
+    compaction; CPU and never-stopping velocity-field destinations take
+    the XLA lock-step path, f64 on CPU. Accepts the trace_compacted
+    keyword set.
     """
     import jax
 
-    from raytrace_tpu.destinations import DiscWithISCO, ThetaLimit
+    from raytrace_tpu.destinations import (
+        DiscWithISCO,
+        FlatPlane,
+        SphericalShell,
+        ThetaLimit,
+    )
 
     dest = kw.get("dest")
     pallas_ok = (
         jax.default_backend() != "cpu"
-        and kw.get("boundary") is None
         and kw.get("method", "rk45") in ("euler", "rk4", "rk45")
-        and (dest is None or type(dest) in (ThetaLimit, DiscWithISCO))
+        and (
+            dest is None
+            or type(dest) in (ThetaLimit, DiscWithISCO, FlatPlane, SphericalShell)
+        )
     )
     if pallas_ok:
         # the fused driver runs the whole compaction schedule (wide march,
-        # device-side survivor gather, narrow stuck-ray tail) as a single
-        # dispatch — no host round trips between phases, which dominate on
-        # a network-tunneled chip
+        # device-side survivor gather, narrow stuck-ray tail, full-width
+        # drain) as a single dispatch — no host round trips between phases,
+        # which dominate on a network-tunneled chip
         from raytrace_tpu.ops.pallas_kernel import trace_pallas_fused
 
         method = kw.get("method", "rk45")
@@ -52,6 +60,7 @@ def trace_auto(rays, spin, **kw):
             r_max=kw.get("r_max", 1000.0),
             steplim=steplim,
             ctrl=kw.get("ctrl", StepControl()),
+            boundary=kw.get("boundary"),
         )
     return trace_compacted(rays, spin, **kw)
 

@@ -1,0 +1,113 @@
+"""Shared fused-compaction machinery for heterogeneous ray lifetimes.
+
+A lock-step batch pays every iteration for its slowest lane: a handful of
+stuck photon-sphere rays (the reference's RK45_STEPLIM pathology,
+/root/reference/docs/session_2026-03-01.md:105-137) would force the whole
+batch through 30k+ iterations. Both propagation engines (the XLA while-loop
+``trace`` and the Pallas VMEM kernel) instead run a *static* multi-phase
+schedule: a full-width opening march, then device-side gathers of the
+still-active survivors into progressively narrower sub-batches, and a final
+full-width drain phase that finishes any lanes a width misjudged — so the
+whole schedule is one jitted program with no host round trips (essential on
+a network-tunneled chip) and no width can strand a ray mid-flight.
+
+The gather/scatter pair preserves per-lane state exactly, so a fused run is
+observationally identical to the single-phase march: same step counts,
+statuses, positions and adaptive dt.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from raytrace_tpu.rays import RayBatch
+
+# (rows, 128) f32-tile granularities used by the Pallas engine; the XLA
+# engine has no block constraint but reusing the same multiples is harmless.
+_BN16 = 16 * 128
+_BN8 = 8 * 128
+
+
+def auto_schedule(n: int, total: int, open_iters: int = 512):
+    """Static compaction schedule: (iters, width, rows, unroll) per phase.
+
+    Tuned against the measured per-ray step distribution of the canonical
+    disc workloads (sharply bimodal: every ray needs a few hundred steps,
+    ~0.04% photon-sphere creepers run to the step limit): a full-width
+    opening march, one mid-width phase catching the p99 cluster, then the
+    long stuck-ray tail in short (8,128) blocks where each iteration costs
+    half the vregs. Widths carry ~25% headroom over the measured survivor
+    counts; a workload that overflows them is drained correctly (if more
+    slowly) by the full-width drain phase appended by ``run_phases``.
+    """
+    full = -(-n // _BN16) * _BN16
+    w2 = -(-int(0.45 * n) // _BN16) * _BN16
+    w3 = -(-max(2 * _BN8, n // 24) // _BN8) * _BN8
+    if w2 >= full or n <= 4 * _BN16:
+        return ((total, None, 16, 2),)
+    sched = [(open_iters, None, 16, 2), (320, w2, 16, 2)]
+    sched.append((total, w3, 8, 4) if w3 < w2 else (total, w2, 16, 2))
+    return tuple(sched)
+
+
+def compact_gather(out: RayBatch, width: int):
+    """Gather the active lanes into a width-wide sub-batch, on device.
+
+    ``jnp.nonzero(size=width)`` pads with index n (out of bounds): gathered
+    as zeros and marked dead (steps = -1), and dropped again by the
+    out-of-bounds scatter on the way back. If more than ``width`` lanes are
+    active, the excess stays behind untouched (still active in ``out``) —
+    finished by the drain phase.
+    """
+    n = out.n_rays
+    active = out.active
+    count = jnp.sum(active.astype(jnp.int32))
+    idx = jnp.nonzero(active, size=width, fill_value=n)[0].astype(jnp.int32)
+    live = jnp.arange(width, dtype=jnp.int32) < count
+    sub = jax.tree.map(
+        # fill_value must be static (it is baked into the gather primitive)
+        lambda a: jnp.take(a, idx, axis=0, mode="fill", fill_value=0),
+        out,
+    )
+    sub = sub.replace(steps=jnp.where(live, sub.steps, jnp.full_like(sub.steps, -1)))
+    return sub, idx
+
+
+def compact_scatter(out: RayBatch, sub: RayBatch, idx):
+    return jax.tree.map(lambda o, s: o.at[idx].set(s, mode="drop"), out, sub)
+
+
+def run_phases(out: RayBatch, spin, schedule, total: int, phase_fn) -> RayBatch:
+    """Run the compaction schedule, then a full-width drain phase.
+
+    ``phase_fn(batch, spin, iters, rows, unroll) -> batch`` marches a batch
+    for at most ``iters`` lock-step iterations in resume mode (gates/dt
+    already seeded by the caller). The trailing drain phase re-marches the
+    full batch with the whole iteration budget: if every lane already
+    finished it exits after one loop-condition check (per block, for the
+    Pallas engine), and otherwise it finishes the lanes the static widths
+    could not hold — identical resume semantics, so the result is exactly
+    as if the schedule had fit.
+    """
+    n = out.n_rays
+    used = 0
+    full_to_end = False
+    for iters, width, rows, unroll in schedule:
+        iters = min(iters, total - used)
+        if iters <= 0:
+            break
+        if width is None or width >= n:
+            out = phase_fn(out, spin, iters, rows, unroll)
+            full_to_end = used + iters >= total
+        else:
+            sub, idx = compact_gather(out, width)
+            sub = phase_fn(sub, spin, iters, rows, unroll)
+            out = compact_scatter(out, sub, idx)
+            full_to_end = False
+        used += iters
+    if not full_to_end:
+        # drain: correctness backstop for schedule-overflow lanes (a no-op
+        # one-condition-check pass when every lane already finished)
+        out = phase_fn(out, spin, total, 16, 2)
+    return out

@@ -36,6 +36,7 @@ from jax import lax
 
 from raytrace_tpu.destinations import Destination, ThetaLimit
 from raytrace_tpu.geometry.kerr import geodesic_rates, horizon_radius, momentum_from_consts
+from raytrace_tpu.ops.compaction import auto_schedule, run_phases
 from raytrace_tpu.rays import (
     RAY_STATUS_DEST,
     RAY_STATUS_ERGO,
@@ -651,6 +652,37 @@ def _refine_theta_crossing(st: RayBatch, dest, spin) -> RayBatch:
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("method", "schedule", "steplim", "ctrl", "unroll"),
+)
+def _trace_fused_xla(
+    rays, spin, dest, boundary, r_max, *, method, schedule, steplim, ctrl, unroll
+):
+    total = steplim + steplim // 4 + 16
+    horizon = horizon_radius(spin) if boundary is None else boundary
+    # Fresh-propagation setup happens once on the full batch (so a schedule
+    # whose first phase is width-compacted still gets the gate reset and the
+    # rk45 dt seeding); every phase below resumes.
+    out = rays.replace(
+        r_was_positive=jnp.zeros_like(rays.r_was_positive),
+        theta_was_positive=jnp.ones_like(rays.theta_was_positive),
+    )
+    if method == "rk45":
+        out = out.replace(dt=_seed_rk45_step(out, spin, horizon, ctrl))
+
+    def phase(batch, s, iters, rows, _unroll):
+        # rows is a Pallas block-height knob; the XLA engine ignores it
+        return trace(
+            batch, s, method=method, dest=dest, r_max=r_max, steplim=steplim,
+            ctrl=ctrl, boundary=boundary, max_iters=iters, unroll=unroll,
+            resume=True, refine_crossing=False,
+        )
+
+    out = run_phases(out, spin, schedule, total, phase)
+    return _refine_theta_crossing(out, dest, spin)
+
+
 def trace_compacted(
     rays: RayBatch,
     spin,
@@ -661,76 +693,40 @@ def trace_compacted(
     steplim: int | None = None,
     ctrl: StepControl = StepControl(),
     boundary=None,
-    phase_iters: int = 4096,
+    phase_iters: int = 2048,
     min_batch: int = 256,
     unroll: int = 1,
+    schedule=None,
 ) -> RayBatch:
-    """trace() with phase compaction for heterogeneous ray lifetimes.
+    """trace() with fused phase compaction for heterogeneous ray lifetimes.
 
     In a lock-step batch a handful of stuck photon-sphere rays (the
     reference's RK45_STEPLIM pathology, docs/session_2026-03-01.md:105-137)
     force every iteration to process the full batch. This driver runs the
-    full batch for ``phase_iters`` lock-step iterations, then repeatedly
-    gathers the still-active lanes into a power-of-two-sized sub-batch
-    (host-side index computation between jit calls; each distinct sub-batch
-    size compiles once) and resumes them, scattering results back. Stuck
-    rays then cost iterations over a tiny batch rather than the whole one.
+    shared static compaction schedule (ops/compaction.py): a full-width
+    opening march of ``phase_iters`` iterations covering the p99 mass of
+    rays, device-side gathers of the survivors into narrower sub-batches,
+    and a full-width drain backstop — all inside ONE jitted program (no
+    host round trips; the same schedule engine drives the Pallas kernel via
+    trace_pallas_fused). ``min_batch`` floors the compacted widths.
 
     Semantics are identical to trace(): per-ray step counts, statuses and
     the adaptive dt are carried across phases.
     """
-    import numpy as np
-
+    if dest is None:
+        dest = ThetaLimit(jnp.pi / 2)
     if steplim is None:
         steplim = RK45_STEPLIM if method == "rk45" else STEPLIM
-    total_budget = steplim + steplim // 4 + 16
-
-    out = trace(
-        rays,
-        spin,
-        method=method,
-        dest=dest,
-        r_max=r_max,
-        steplim=steplim,
-        ctrl=ctrl,
-        boundary=boundary,
-        max_iters=min(phase_iters, total_budget),
-        unroll=unroll,
-        resume=False,
-    )
-    used = phase_iters
-
-    while used < total_budget:
-        active_idx = np.flatnonzero(np.asarray(out.active))
-        if active_idx.size == 0:
-            break
-        n_pad = max(min_batch, 1 << (int(active_idx.size - 1).bit_length()))
-        pad = n_pad - active_idx.size
-        idx = np.concatenate([active_idx, np.zeros(pad, dtype=active_idx.dtype)])
-        live = np.arange(n_pad) < active_idx.size
-
-        sub = jax.tree.map(lambda a: a[idx], out)
-        # padding lanes are dead clones of ray 0
-        sub = sub.replace(steps=jnp.where(jnp.asarray(live), sub.steps, -1))
-
-        this_phase = min(phase_iters * 4, total_budget - used)
-        sub = trace(
-            sub,
-            spin,
-            method=method,
-            dest=dest,
-            r_max=r_max,
-            steplim=steplim,
-            ctrl=ctrl,
-            boundary=boundary,
-            max_iters=this_phase,
-            unroll=unroll,
-            resume=True,
+    total = steplim + steplim // 4 + 16
+    if schedule is None:
+        schedule = tuple(
+            (it, None if w is None else max(w, min_batch), rows, u)
+            for it, w, rows, u in auto_schedule(
+                rays.n_rays, total, open_iters=phase_iters
+            )
         )
-        used += this_phase
-
-        src_idx = jnp.asarray(active_idx)
-        take = lambda a, b: a.at[src_idx].set(b[: active_idx.size])
-        out = jax.tree.map(take, out, sub)
-
-    return out
+    return _trace_fused_xla(
+        rays, spin, dest, boundary, r_max,
+        method=method, schedule=tuple(tuple(p) for p in schedule),
+        steplim=steplim, ctrl=ctrl, unroll=unroll,
+    )

@@ -28,8 +28,14 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from raytrace_tpu.destinations import DiscWithISCO, ThetaLimit
+from raytrace_tpu.destinations import (
+    DiscWithISCO,
+    FlatPlane,
+    SphericalShell,
+    ThetaLimit,
+)
 from raytrace_tpu.geometry.kerr import horizon_radius
+from raytrace_tpu.ops.compaction import auto_schedule, run_phases
 from raytrace_tpu.ops.integrate import (
     StepControl,
     _euler_rk4_body,
@@ -70,9 +76,12 @@ def _make_kernel(method, dest_kind, ctrl: StepControl, unroll: int):
     def kernel(scalars_ref, limits_ref, *refs):
         spin = scalars_ref[0]
         r_max = scalars_ref[1]
+        # termination radius: the event horizon, or a boundary override (a
+        # neutron-star surface, raytracer.h:152-162) — the caller decides
         horizon = scalars_ref[2]
-        p0 = scalars_ref[3]  # theta_lim | r_isco
-        p1 = scalars_ref[4]  # unused    | r_out
+        p0 = scalars_ref[3]  # theta_lim | r_isco | incl   | r_shell
+        p1 = scalars_ref[4]  # unused    | r_out  | phi0   | unused
+        p2 = scalars_ref[5]  # unused    | th_lim | z_s    | unused
         # runtime step budgets: keeping these out of the trace means one
         # kernel compilation per (method, destination) total — essential
         # when each Mosaic compile takes minutes over a remote-compile link
@@ -85,8 +94,14 @@ def _make_kernel(method, dest_kind, ctrl: StepControl, unroll: int):
 
         if dest_kind == "theta":
             dest = ThetaLimit(p0)
+        elif dest_kind == "isco":
+            dest = DiscWithISCO(r_isco=p0, r_out=p1, theta_lim=p2)
+        elif dest_kind == "plane":
+            dest = FlatPlane(incl=p0, phi0=p1, z_s=p2)
+        elif dest_kind == "shell":
+            dest = SphericalShell(r_shell=p0)
         else:
-            dest = DiscWithISCO(r_isco=p0, r_out=p1)
+            raise ValueError(dest_kind)
 
         fields = {}
         for idx, name in enumerate(_F_FIELDS):
@@ -205,8 +220,10 @@ def trace_pallas(
     refine_crossing: bool = True,
     rows: int | None = None,
     unroll: int | None = None,
+    boundary=None,
 ) -> RayBatch:
-    """Pallas-kernel twin of trace() (f32, ThetaLimit / DiscWithISCO).
+    """Pallas-kernel twin of trace() (f32; ThetaLimit / DiscWithISCO /
+    FlatPlane / SphericalShell destinations, optional boundary override).
 
     Pads the batch to a whole number of (rows, 128) blocks with dead rays
     and returns the same RayBatch contract as trace(), including the final
@@ -218,18 +235,29 @@ def trace_pallas(
     issue; short blocks retire earlier and cost fewer vregs per iteration —
     the right choice for long-tail phases where one block marches alone.
     Each distinct (rows, unroll, method, destination) combination compiles
-    its own Mosaic kernel: keep the set small.
+    its own Mosaic kernel: keep the set small. Destination parameters and
+    the boundary override are SMEM scalars, not static args, so varying
+    them never recompiles.
     """
     if dest is None:
         dest = ThetaLimit(jnp.pi / 2)
     if isinstance(dest, DiscWithISCO):
         dest_kind = "isco"
-        p0, p1 = dest.r_isco, dest.r_out
+        params = (dest.r_isco, dest.r_out, dest.theta_lim)
     elif isinstance(dest, ThetaLimit):
         dest_kind = "theta"
-        p0, p1 = dest.theta_lim, 0.0
+        params = (dest.theta_lim, 0.0, 0.0)
+    elif isinstance(dest, FlatPlane):
+        dest_kind = "plane"
+        params = (dest.incl, dest.phi0, dest.z_s)
+    elif isinstance(dest, SphericalShell):
+        dest_kind = "shell"
+        params = (dest.r_shell, 0.0, 0.0)
     else:
-        raise NotImplementedError(f"pallas path supports ThetaLimit/DiscWithISCO, got {type(dest)}")
+        raise NotImplementedError(
+            "pallas path supports ThetaLimit/DiscWithISCO/FlatPlane/"
+            f"SphericalShell, got {type(dest)}"
+        )
     if max_iters is None:
         max_iters = steplim + steplim // 4 + 16
     if rows is None:
@@ -244,7 +272,7 @@ def trace_pallas(
     def pad_to(a, fill=0):
         return jnp.pad(a, (0, pad), constant_values=fill) if pad else a
 
-    horizon = horizon_radius(spin)
+    horizon = horizon_radius(spin) if boundary is None else boundary
     if not resume:
         # propagation gate reset (matches trace())
         rays = rays.replace(
@@ -260,8 +288,8 @@ def trace_pallas(
         for f in _I_FIELDS
     ]
     b_in = [pad_to(getattr(rays, f).astype(jnp.int32)) for f in _B_FIELDS]
-    scalars = jnp.asarray(
-        [spin, r_max, horizon, p0, p1], dtype=f32
+    scalars = jnp.stack(
+        [jnp.asarray(v, f32) for v in (spin, r_max, horizon, *params)]
     )
     limits = jnp.asarray([steplim, max_iters], dtype=jnp.int32)
 
@@ -283,107 +311,39 @@ def trace_pallas(
     return out
 
 
-# jitted so the whole refinement is one dispatch (tunneled-TPU friendly);
+# jitted so the whole refinement is one dispatch(tunneled-TPU friendly);
 # dest is a flax struct pytree, so its traced parameters flow through
 _refine_crossing_jit = jax.jit(_refine_theta_crossing)
-
-
-@jax.jit
-def _active_mask(st: RayBatch):
-    return st.active
-
-
-@jax.jit
-def _gather_sub(out: RayBatch, full_idx, live):
-    sub = jax.tree.map(lambda a: a[full_idx], out)
-    # padding lanes are dead clones of ray 0
-    return sub.replace(
-        steps=jnp.where(live, sub.steps, jnp.full_like(sub.steps, -1))
-    )
-
-
-@jax.jit
-def _scatter_back(out: RayBatch, sub: RayBatch, src_idx):
-    n = src_idx.shape[0]
-    return jax.tree.map(lambda a, b: a.at[src_idx].set(b[:n]), out, sub)
-
-
-def _auto_schedule(n: int, total: int):
-    """Static compaction schedule: (iters, width, rows, unroll) per phase.
-
-    Tuned against the measured per-ray step distribution of the canonical
-    disc workloads (sharply bimodal: every ray needs a few hundred steps,
-    ~0.04% photon-sphere creepers run to the step limit): a full-width
-    opening march, one mid-width phase catching the p99 cluster, then the
-    long stuck-ray tail in short (8,128) blocks where each iteration costs
-    half the vregs. Widths carry ~25% headroom over the measured survivor
-    counts; a workload that overflows them is drained correctly (if more
-    slowly) by the host fallback in trace_pallas_fused.
-    """
-    bn16, bn8 = 16 * 128, 8 * 128
-    full = -(-n // bn16) * bn16
-    w2 = -(-int(0.45 * n) // bn16) * bn16
-    w3 = -(-max(2 * bn8, n // 24) // bn8) * bn8
-    if w2 >= full or n <= 4 * bn16:
-        return ((total, None, 16, 2),)
-    sched = [(512, None, 16, 2), (320, w2, 16, 2)]
-    sched.append((total, w3, 8, 4) if w3 < w2 else (total, w2, 16, 2))
-    return tuple(sched)
-
-
-def _compact_device(out: RayBatch, width: int):
-    """Gather the active lanes into a width-wide sub-batch, on device.
-
-    ``jnp.nonzero(size=width)`` pads with index n (out of bounds): gathered
-    as zeros and marked dead (steps = -1), and dropped again by the
-    out-of-bounds scatter on the way back. If more than ``width`` lanes are
-    active, the excess stays behind untouched (still active in ``out``) —
-    the caller detects that via the final active count.
-    """
-    n = out.n_rays
-    active = out.active
-    count = jnp.sum(active.astype(jnp.int32))
-    idx = jnp.nonzero(active, size=width, fill_value=n)[0].astype(jnp.int32)
-    live = jnp.arange(width, dtype=jnp.int32) < count
-    sub = jax.tree.map(
-        # fill_value must be static (it is baked into the gather primitive)
-        lambda a: jnp.take(a, idx, axis=0, mode="fill", fill_value=0),
-        out,
-    )
-    sub = sub.replace(steps=jnp.where(live, sub.steps, jnp.full_like(sub.steps, -1)))
-    return sub, idx
-
-
-def _scatter_device(out: RayBatch, sub: RayBatch, idx):
-    return jax.tree.map(lambda o, s: o.at[idx].set(s, mode="drop"), out, sub)
 
 
 @partial(
     jax.jit,
     static_argnames=("method", "schedule", "steplim", "ctrl", "r_max"),
 )
-def _trace_pallas_fused_jit(rays, spin, dest, *, method, schedule, steplim, ctrl, r_max):
-    n = rays.n_rays
+def _trace_pallas_fused_jit(
+    rays, spin, dest, boundary, *, method, schedule, steplim, ctrl, r_max
+):
     total = steplim + steplim // 4 + 16
-    out, used, first = rays, 0, True
-    for iters, width, rows, unroll in schedule:
-        iters = min(iters, total - used)
-        if iters <= 0:
-            break
-        kw = dict(
-            method=method, dest=dest, r_max=r_max, steplim=steplim, ctrl=ctrl,
-            max_iters=iters, refine_crossing=False, rows=rows, unroll=unroll,
+    horizon = horizon_radius(spin) if boundary is None else boundary
+    # Fresh-propagation setup happens once here, on the full batch, so a
+    # schedule whose FIRST phase is width-compacted still gets the gate
+    # reset and (for rk45) the dt seeding; every kernel call below resumes.
+    out = rays.replace(
+        r_was_positive=jnp.zeros_like(rays.r_was_positive),
+        theta_was_positive=jnp.ones_like(rays.theta_was_positive),
+    )
+    if method == "rk45":
+        out = out.replace(dt=_seed_rk45_step(out, spin, horizon, ctrl))
+
+    def phase(batch, s, iters, rows, unroll):
+        return trace_pallas(
+            batch, s, method=method, dest=dest, r_max=r_max, steplim=steplim,
+            ctrl=ctrl, max_iters=iters, refine_crossing=False, rows=rows,
+            unroll=unroll, resume=True, boundary=boundary,
         )
-        if width is None or width >= n:
-            out = trace_pallas(out, spin, resume=not first, **kw)
-        else:
-            sub, idx = _compact_device(out, width)
-            sub = trace_pallas(sub, spin, resume=True, **kw)
-            out = _scatter_device(out, sub, idx)
-        used += iters
-        first = False
-    out = _refine_theta_crossing(out, dest, spin)
-    return out, jnp.sum(out.active.astype(jnp.int32))
+
+    out = run_phases(out, spin, schedule, total, phase)
+    return _refine_theta_crossing(out, dest, spin)
 
 
 def trace_pallas_fused(
@@ -396,141 +356,29 @@ def trace_pallas_fused(
     steplim: int = 30_000,
     ctrl: StepControl = StepControl(),
     schedule=None,
+    boundary=None,
 ) -> RayBatch:
     """Multi-phase pallas march fused into ONE device dispatch.
 
-    trace_pallas_compacted() pays 3+ host<->device round trips per phase
-    boundary (activity mask to host, gather, scatter) — ~30 ms each on a
-    tunneled chip, which dominated the bench wall. Here the whole schedule
-    (march -> device-side compaction via fixed-width nonzero gather ->
-    march -> ... -> crossing refinement) is a single jitted program: phase
-    widths are static, chosen up front by ``_auto_schedule`` (or passed
-    explicitly), so the only host interaction is the final fetch.
-
-    Static widths cannot adapt to the workload, so each carries headroom;
-    if a phase still overflows (more survivors than width), the excess
-    lanes are simply left mid-flight — detected by the returned active
-    count and drained by the host-loop fallback (identical resume
-    semantics, so the result is exactly as if the schedule had fit).
+    A naive host-driven compaction loop pays 3+ host<->device round trips
+    per phase boundary (activity mask to host, gather, scatter) — ~30 ms
+    each on a tunneled chip, which dominated the bench wall. Here the whole
+    schedule (march -> device-side compaction via fixed-width nonzero
+    gather -> march -> ... -> full-width drain -> crossing refinement) is a
+    single jitted program: phase widths are static, chosen up front by
+    ``auto_schedule`` (or passed explicitly), so the only host interaction
+    is the final fetch. The trailing drain phase (ops/compaction.py)
+    finishes any lanes the static widths could not hold, with identical
+    resume semantics — no host fallback needed, which also makes this
+    function safe to call inside shard_map (parallel/sharding.py).
     """
     if dest is None:
         dest = ThetaLimit(jnp.pi / 2)
     total = steplim + steplim // 4 + 16
     if schedule is None:
-        schedule = _auto_schedule(rays.n_rays, total)
-    out, n_left = _trace_pallas_fused_jit(
-        rays, spin, dest,
+        schedule = auto_schedule(rays.n_rays, total)
+    return _trace_pallas_fused_jit(
+        rays, spin, dest, boundary,
         method=method, schedule=tuple(tuple(p) for p in schedule),
         steplim=steplim, ctrl=ctrl, r_max=float(r_max),
     )
-    if int(n_left) > 0:
-        out = _host_drain(
-            out, spin, method=method, dest=dest, r_max=r_max,
-            steplim=steplim, ctrl=ctrl, max_iters=total,
-        )
-    return out
-
-
-def _host_drain(out, spin, *, method, dest, r_max, steplim, ctrl, max_iters):
-    """Finish any still-active lanes with host-driven compaction passes.
-
-    One pass suffices when max_iters covers the full step budget (every ray
-    either terminates or exhausts steplim and is flagged stuck); the loop
-    guards the general case.
-    """
-    import numpy as np
-
-    while True:
-        idx = np.flatnonzero(np.asarray(_active_mask(out)))
-        if idx.size == 0:
-            return out
-        kw = dict(
-            method=method, dest=dest, r_max=r_max, steplim=steplim, ctrl=ctrl,
-            max_iters=max_iters, resume=True,
-        )
-        width = max(8 * 128, 1 << int(idx.size - 1).bit_length())
-        if width >= out.n_rays:
-            out = trace_pallas(out, spin, **kw)
-            continue
-        full_idx = jnp.asarray(
-            np.concatenate([idx, np.zeros(width - idx.size, dtype=idx.dtype)]),
-            jnp.int32,
-        )
-        live = jnp.asarray(np.arange(width) < idx.size)
-        sub = _gather_sub(out, full_idx, live)
-        sub = trace_pallas(sub, spin, rows=8, unroll=4, **kw)
-        out = _scatter_back(out, sub, jnp.asarray(idx, jnp.int32))
-
-
-def trace_pallas_compacted(
-    rays: RayBatch,
-    spin,
-    *,
-    method: str = "rk4",
-    dest=None,
-    r_max=1000.0,
-    steplim: int = 30_000,
-    ctrl: StepControl = StepControl(),
-    phase_iters: int = 1024,
-    growth: int = 32,
-) -> RayBatch:
-    """Multi-phase pallas march with shrinking batch width.
-
-    The full batch runs ``phase_iters`` lock-step iterations (covering the
-    p99 mass of rays — the step distribution is sharply bimodal, median
-    ~400 vs a 30k stuck-ray tail on the canonical lamppost workload); the
-    still-active survivors are then gathered into a power-of-two-wide
-    sub-batch (floor one (8,128) block) and marched for a geometrically
-    growing number of iterations, repeating until the step budget is spent.
-    Measured on the bench workload this cuts the long-tail cost from more
-    wall time than the whole main phase (54 survivors padded to a fixed
-    8192-wide tail) to one block running alone.
-
-    Phase-boundary costs are kept to a handful of dispatches: this chip may
-    sit behind a network tunnel where every eager op is a round trip, so
-    the gather/scatter/mask ops are jitted pytree-wide (one dispatch each)
-    and ``growth`` is steep so the canonical workload runs exactly two
-    phases (schedule chosen by simulating alternatives against measured
-    per-ray step counts: 1024 + single tail issues ~27% fewer
-    lane-iterations than 2048-based schedules). Iteration budgets live in SMEM scalars, so only each distinct
-    *width* compiles a kernel — a handful of power-of-two shapes ever,
-    reused across calls. Semantics identical to trace_pallas(): per-ray
-    step counts, statuses and the adaptive dt carry across phases.
-    """
-    import numpy as np
-
-    total = steplim + steplim // 4 + 16
-    out = trace_pallas(
-        rays, spin, method=method, dest=dest, r_max=r_max, steplim=steplim,
-        ctrl=ctrl, max_iters=min(phase_iters, total),
-    )
-    used = min(phase_iters, total)
-    this_phase = phase_iters
-
-    while used < total:
-        idx = np.flatnonzero(np.asarray(_active_mask(out)))
-        if idx.size == 0:
-            return out
-        this_phase = min(this_phase * growth, total - used)
-        width = max(_BLOCK_N, 1 << int(idx.size - 1).bit_length())
-        if width >= out.n_rays:
-            # no compaction possible: continue full-width
-            out = trace_pallas(
-                rays=out, spin=spin, method=method, dest=dest, r_max=r_max,
-                steplim=steplim, ctrl=ctrl, max_iters=this_phase, resume=True,
-            )
-            used += this_phase
-            continue
-        full_idx = jnp.asarray(
-            np.concatenate([idx, np.zeros(width - idx.size, dtype=idx.dtype)]),
-            jnp.int32,
-        )
-        live = jnp.asarray(np.arange(width) < idx.size)
-        sub = _gather_sub(out, full_idx, live)
-        sub = trace_pallas(
-            sub, spin, method=method, dest=dest, r_max=r_max, steplim=steplim,
-            ctrl=ctrl, max_iters=this_phase, resume=True,
-        )
-        used += this_phase
-        out = _scatter_back(out, sub, jnp.asarray(idx, jnp.int32))
-    return out

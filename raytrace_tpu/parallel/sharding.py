@@ -32,6 +32,57 @@ from raytrace_tpu.ops.redshift import apply_redshift, range_phi, redshift_start
 from raytrace_tpu.rays import RayBatch
 
 
+def _pallas_supported(dest, boundary=None, method="rk45") -> bool:
+    """True when the shard-local march can run through the Pallas kernel."""
+    from raytrace_tpu.destinations import (
+        DiscWithISCO,
+        FlatPlane,
+        SphericalShell,
+        ThetaLimit,
+    )
+
+    return (
+        jax.default_backend() != "cpu"
+        and method in ("euler", "rk4", "rk45")
+        and (
+            dest is None
+            or type(dest) in (ThetaLimit, DiscWithISCO, FlatPlane, SphericalShell)
+        )
+    )
+
+
+def _shard_trace_fn(*, method, dest, r_max, steplim, ctrl, boundary=None):
+    """Shard-local propagation engine: the Pallas VMEM kernel on an
+    accelerator backend, the XLA lock-step loop otherwise.
+
+    This is the multi-chip twin of ops.trace_auto: without it, a sharded
+    run would regress to the XLA-loop rate per chip and forfeit the benched
+    kernel throughput (the reference's only parallel mechanism is the ray
+    loop, raytracer.cpp:104 — here each mesh device must run the same
+    fastest single-chip path on its shard).
+    """
+    if _pallas_supported(dest, boundary, method):
+        from raytrace_tpu.ops.pallas_kernel import trace_pallas_fused
+
+        lim = steplim if steplim else (100_000 if method == "rk45" else 30_000)
+
+        def run(shard, s):
+            return trace_pallas_fused(
+                shard, s, method=method, dest=dest, r_max=r_max,
+                steplim=lim, ctrl=ctrl, boundary=boundary,
+            )
+
+        return run
+
+    def run(shard, s):
+        return trace(
+            shard, s, method=method, dest=dest, r_max=r_max,
+            steplim=steplim, ctrl=ctrl, boundary=boundary,
+        )
+
+    return run
+
+
 def make_ray_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     """1-D mesh over the ray axis."""
     if devices is None:
@@ -75,9 +126,16 @@ def sharded_trace(
     r_max=1000.0,
     steplim: int | None = None,
     ctrl: StepControl = StepControl(),
+    boundary=None,
 ) -> RayBatch:
-    """trace() under shard_map: each device marches its ray shard
-    independently (embarrassingly parallel; zero collectives)."""
+    """Sharded propagation: each device marches its ray shard independently
+    (embarrassingly parallel; zero collectives). The shard-local engine is
+    the Pallas VMEM kernel on accelerator backends (full fused compaction
+    schedule per shard) and the XLA lock-step loop on CPU."""
+    engine = _shard_trace_fn(
+        method=method, dest=dest, r_max=r_max, steplim=steplim, ctrl=ctrl,
+        boundary=boundary,
+    )
 
     @partial(
         shard_map,
@@ -87,7 +145,7 @@ def sharded_trace(
         check_vma=False,
     )
     def run(r, s):
-        return trace(r, s, method=method, dest=dest, r_max=r_max, steplim=steplim, ctrl=ctrl)
+        return engine(r, s)
 
     return run(rays, spin)
 
@@ -112,11 +170,16 @@ def sharded_emissivity_bins(
     """Full sharded emissivity step: per-shard trace + redshift + local
     radial binning, then a psum over the mesh merges the partial histograms
     (replicated output). This is the framework's canonical multi-chip
-    "training step" shape: independent shard compute + ICI all-reduce."""
+    "training step" shape: independent shard compute + ICI all-reduce.
+    The shard-local march runs through the Pallas kernel on accelerator
+    backends (same engine selection as sharded_trace)."""
     from raytrace_tpu.geometry import isco_radius
     from raytrace_tpu.geometry.kerr import bl_to_cartesian
 
     r_isco = isco_radius(spin)
+    engine = _shard_trace_fn(
+        method=method, dest=None, r_max=r_max, steplim=steplim, ctrl=ctrl
+    )
 
     @partial(
         shard_map,
@@ -127,7 +190,7 @@ def sharded_emissivity_bins(
     )
     def run(shard, s):
         shard = redshift_start(shard, s, V)
-        out = trace(shard, s, method=method, r_max=r_max, steplim=steplim, ctrl=ctrl)
+        out = engine(shard, s)
         out = range_phi(out)
         out = apply_redshift(out, s, V=-1.0)
         _, _, z = bl_to_cartesian(out.r, out.theta, out.phi, s)

@@ -24,7 +24,8 @@ from raytrace_tpu.sources import PointSourceGrid, point_source
 SPIN = 0.9
 
 
-def _single_ray_pipeline(spin, h_src, alpha=2.0, beta=1.0):
+def _single_ray_pipeline(spin, h_src, alpha=2.0, beta=1.0, method="rk4",
+                         n_steps=2048):
     """Landing radius and redshift of one robust disc-hitting lamppost ray."""
     n = 8
     base = blank_batch(n)
@@ -39,7 +40,7 @@ def _single_ray_pipeline(spin, h_src, alpha=2.0, beta=1.0):
         thetadot_sign=c.thetadot_sign, steps=jnp.zeros(n, jnp.int32),
         emit=jnp.ones(n),
     )
-    out = trace_scan(rays, spin, method="rk4", r_max=500.0, n_steps=2048)
+    out = trace_scan(rays, spin, method=method, r_max=500.0, n_steps=n_steps)
     out = apply_redshift(out, spin, V=-1.0)
     return out.r[0], out.redshift[0]
 

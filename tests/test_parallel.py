@@ -94,9 +94,15 @@ def test_sharded_gradients_match_single_device():
     # per-shard partial sums + psum tree reassociate the f64 reduction:
     # agreement is to summation-order noise, not bitwise
     np.testing.assert_allclose(float(val8), float(val1), rtol=1e-10)
+    # Gradient parity is to the ensemble-gradient NOISE FLOOR, not fp eps:
+    # lanes passing near polar turning points carry transient ~1/sqrt(tiny)
+    # cotangents through sqrt(max(|x|, tiny)) that later cancel, so any
+    # change in fusion/sharding/association rounds their contribution
+    # differently at the ~1e-4 relative level (measured: per-lane-vmap vs
+    # batched backward of the identical pipeline differ by 4e-4).
     for g8, g1 in zip(grads8, grads1):
         assert np.isfinite(float(g8))
-        np.testing.assert_allclose(float(g8), float(g1), rtol=1e-6)
+        np.testing.assert_allclose(float(g8), float(g1), rtol=2e-3)
 
 
 def test_graft_entry_points():
@@ -105,3 +111,41 @@ def test_graft_entry_points():
     fn, args = ge.entry()
     r = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(r)).all()
+
+
+def test_sharded_pallas_engine_under_shard_map(monkeypatch):
+    """On accelerator backends the shard-local engine is the Pallas kernel;
+    pin that composition here by forcing the Pallas route in interpreter
+    mode on the CPU mesh and checking against the XLA single-device march.
+    (f32 on both sides: the kernel path is f32-only.)"""
+    import jax.numpy as jnp
+
+    import raytrace_tpu.ops.pallas_kernel as pk
+    import raytrace_tpu.parallel.sharding as sh
+
+    real_call = pk.pl.pallas_call
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return real_call(*args, **kw)
+
+    monkeypatch.setattr(pk.pl, "pallas_call", interp)
+    monkeypatch.setattr(sh, "_pallas_supported", lambda *a, **k: True)
+
+    grid, rays = _rays()
+    rays = jax.tree.map(
+        lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a, rays
+    )
+    mesh = make_ray_mesh()
+    padded = pad_rays(rays, mesh.devices.size)
+    sharded = shard_rays(padded, mesh)
+
+    s = jnp.float32(SPIN)
+    out_s = sharded_trace(sharded, s, mesh, method="rk4", r_max=200.0, steplim=3000)
+    out_1 = trace(padded, s, method="rk4", r_max=200.0, steplim=3000)
+
+    np.testing.assert_array_equal(np.asarray(out_s.status), np.asarray(out_1.status))
+    np.testing.assert_array_equal(np.asarray(out_s.steps), np.asarray(out_1.steps))
+    same = np.asarray(out_s.status) == np.asarray(out_1.status)
+    dr = np.abs(np.asarray(out_s.r) - np.asarray(out_1.r))[same]
+    assert np.median(dr) < 1e-4
