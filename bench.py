@@ -1,16 +1,24 @@
-"""Driver benchmark: RK4 geodesic throughput on the canonical lamppost workload.
+"""Driver benchmark: geodesic throughput on the canonical lamppost workload.
 
 Workload matches the reference perf test (integrator_perf_test.cpp:35-44)
 at the dense grid the reference uses for emissivity comparisons
 (dcosalpha = dbeta = 0.01 -> 125,800 rays; docs/session_2026-03-01.md:40):
-spin 0.998, source at r = 5, theta = 1e-3, RK4 march to the disc/escape.
+spin 0.998, source at r = 5, theta = 1e-3, march to the disc/escape.
 
-Prints ONE JSON line:
+Prints ONE JSON line (the driver contract):
   {"metric": "rk4_steps_per_s_chip", "value": N, "unit": "steps/s",
    "vs_baseline": N / 1e7}
 vs_baseline is against the driver target of >= 10M RK4 steps/s/chip
 (BASELINE.json); the reference CPU whole-box figure is ~4.5e8 steps/s
 (BASELINE.md).
+
+RT_BENCH_METHOD=rk45 benches the adaptive DOPRI5 integrator instead (the
+reference's production integrator, emissivity.cpp:91); the printed metric
+becomes rk45_steps_per_s_chip (accepted steps; the baseline divisor is the
+same 10M target). Every run also appends a record with secondary metrics
+(rays/s, step-count percentiles, wasted-lane fraction) to BENCH_NOTES.jsonl
+so a kernel regression that trades steps/s for wasted lane-iterations stays
+visible across rounds.
 
 Runs on whatever backend JAX selects (the real TPU chip under the driver).
 TPU computes in f32 (f64 is demoted by XLA on TPU); source construction is
@@ -19,6 +27,7 @@ tests/test_emissivity.py.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -34,6 +43,7 @@ def main():
     from raytrace_tpu.ops import trace_compacted
     from raytrace_tpu.sources import PointSourceGrid, point_source
 
+    method = os.environ.get("RT_BENCH_METHOD", "rk4")
     spin = 0.998
     grid = PointSourceGrid.from_steps(0.01, 0.01)
     rays = point_source((0.0, 5.0, 1e-3, 0.0), V=0.0, spin=spin, grid=grid)
@@ -45,57 +55,86 @@ def main():
     )
     s = jnp.asarray(spin, dtype)
 
-    # 30k steps covers every well-behaved RK4 ray (the reference measured a
-    # 27,154-step max on this workload, docs/session_2026-03-01.md) while
-    # bounding the stuck photon-sphere tail.
-    steplim = 30_000
+    # RK4: 30k steps covers every well-behaved ray (the reference measured a
+    # 27,154-step max on this workload, docs/session_2026-03-01.md).
+    # RK45: well-behaved max is 34,223 (BASELINE.md); 40k bounds the stuck
+    # photon-sphere tail while never cutting a legitimate ray.
+    steplim = 40_000 if method == "rk45" else 30_000
 
     if on_tpu:
         # Pallas kernel: each ray block marches to completion in VMEM — one
         # HBM load/store per ray for the whole propagation. The fused driver
         # runs the full compaction schedule (wide march -> device-side
-        # gather of survivors -> narrow stuck-ray tail) as ONE dispatch, so
-        # no host round trips land between phases.
+        # gather of survivors -> narrow stuck-ray tail -> drain) as ONE
+        # dispatch, so no host round trips land between phases.
         from raytrace_tpu.ops.pallas_kernel import trace_pallas_fused
 
         run = lambda: trace_pallas_fused(
-            rays, s, method="rk4", r_max=1000.0, steplim=steplim
+            rays, s, method=method, r_max=1000.0, steplim=steplim
         )
     else:
         run = lambda: trace_compacted(
-            rays, s, method="rk4", r_max=1000.0, steplim=steplim, phase_iters=2048
+            rays, s, method=method, r_max=1000.0, steplim=steplim, phase_iters=2048
         )
+
+    def sync(o):
+        # A scalar device->host fetch is the only reliable completion
+        # barrier through the tunneled remote-TPU plugin: its
+        # block_until_ready can return before the remote execution
+        # finishes. One ~30 ms round trip of measurement overhead on a
+        # multi-second march, and it depends on every marched lane.
+        return int(jnp.max(jnp.abs(o.steps)))
 
     # warm-up / compile
     out = run()
-    jax.block_until_ready(out)
+    sync(out)
 
-    # Timed section ends when every output buffer is materialised on the
-    # chip (block_until_ready), matching the reference's timing of the
-    # propagation phase (integrator_perf_test.cpp:74-79) — not the extra
-    # network round trips this box pays to *fetch* results through the
-    # remote-TPU tunnel (a real TPU host dispatches in microseconds).
+    # Timed section ends when the completion scalar lands on the host,
+    # matching the reference's timing of the propagation phase
+    # (integrator_perf_test.cpp:74-79) — not the extra network round trips
+    # this box pays to *fetch the full results* through the tunnel (a real
+    # TPU host dispatches in microseconds).
     t0 = time.time()
     out = run()
-    jax.block_until_ready(out)
+    sync(out)
     wall = time.time() - t0
 
     live = np.asarray(rays.steps) == 0
     steps = np.abs(np.asarray(out.steps)).astype(np.int64)
     stuck = (np.asarray(out.status) & 8) != 0
     useful = steps[live & ~stuck].sum()
+    done = live & ~stuck
 
     value = useful / wall
     print(
         json.dumps(
             {
-                "metric": "rk4_steps_per_s_chip",
+                "metric": f"{method}_steps_per_s_chip",
                 "value": round(value),
                 "unit": "steps/s",
                 "vs_baseline": round(value / 1e7, 3),
             }
         )
     )
+
+    # Secondary metrics side-channel (file, never stdout).
+    pct = np.percentile(steps[done], [50, 90, 99]).tolist() if done.any() else []
+    notes = {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "method": method,
+        "backend": jax.default_backend(),
+        "n_rays": int(live.sum()),
+        "wall_s": round(wall, 4),
+        "steps_per_s": round(value),
+        "rays_per_s": round(live.sum() / wall),
+        "stuck_rays": int((stuck & live).sum()),
+        "steps_p50_p90_p99": [round(p) for p in pct],
+    }
+    try:
+        with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_NOTES.jsonl"), "a") as f:
+            f.write(json.dumps(notes) + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

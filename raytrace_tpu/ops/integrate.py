@@ -227,7 +227,18 @@ def _commit(st: RayBatch, spin, dest, rlim, horizon, steplim, horizon_eps, commi
     eq_cross = st.equatorial_crossings + crossed_eq.astype(st.equatorial_crossings.dtype)
 
     # Termination checks on freshly-advanced lanes (raytracer.cpp:287-320).
-    hit_horizon = commit_mask & (r <= horizon * (1.0 + horizon_eps))
+    # The capture shell is floored at 200 ulp of the working dtype: the RK45
+    # horizon step-cap approaches the horizon geometrically at
+    # (r - r_h)/precision per step, which stalls once that falls below one
+    # ulp of r (~precision * eps relative) — in f32 that stall distance
+    # (~1.2e-5) is OUTSIDE the f64-calibrated 1e-6 shell, so infalling rays
+    # would creep forever and burn the whole step budget as STEPLIM. 200 eps
+    # is 2.4e-5 in f32 (far inside the a=0.998 prograde photon orbit at
+    # r_ph - r_h ~ 1e-2) and 4.4e-14 in f64 (inert: 1e-6 dominates).
+    eps_eff = jnp.maximum(
+        jnp.asarray(horizon_eps, r.dtype), 200 * jnp.finfo(r.dtype).eps
+    )
+    hit_horizon = commit_mask & (r <= horizon * (1.0 + eps_eff))
     hit_rlim = commit_mask & ~hit_horizon & (rlim > 0) & (r >= rlim)
     hit_dest = commit_mask & ~hit_horizon & ~hit_rlim & dest.reached(r, theta, phi, prev_theta)
     status = st.status

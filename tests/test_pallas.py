@@ -166,5 +166,6 @@ def test_pallas_shell_and_boundary():
     np.testing.assert_array_equal(np.asarray(a4.status), np.asarray(b4.status))
     cap = (np.asarray(a4.status) & RAY_STATUS_HORIZON) != 0
     assert cap.any()
-    assert (np.asarray(a4.r)[cap] <= 2.5 * (1 + 1e-5)).all()
+    # f32 capture shell is 200 ulp-floored (integrate.py::_commit)
+    assert (np.asarray(a4.r)[cap] <= 2.5 * (1 + 1e-4)).all()
     assert (np.asarray(a4.r)[cap] > 2.2).all()
