@@ -434,9 +434,18 @@ def _main(target):
         if r_lim:
             fits.set_keyword("RLIM", r_lim)
         fits.set_keyword("SENTINEL", SENTINEL, "branch-boundary marker value")
+        if target == "disc":
+            from raytrace_tpu.geometry import isco_radius
+
+            fits.set_keyword("ISCO", float(isco_radius(spin)))
         for extname, key in _EXTENSIONS[target]:
             fits.write_image(np.nan_to_num(np.asarray(maps[key], dtype=float),
                                            nan=0.0), extname=extname)
+            # per-extension axis keywords (caustic_discplane.cpp:520-540)
+            for k, v in (("X0", x0), ("XMAX", xmax), ("DX", dx),
+                         ("NX", grid.nx), ("Y0", y0), ("YMAX", ymax),
+                         ("DY", dy), ("NY", grid.ny)):
+                fits.set_keyword(k, v)
         fits.close()
         print(f"wrote {outfile}")
         return 0
