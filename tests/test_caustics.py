@@ -139,6 +139,51 @@ def test_caustic_matches_reference_binary():
     assert (np.sign(dm[ok]) == np.sign(dr[ok])).mean() > 0.99
 
 
+GOLDEN_SOURCEPLANE = "tests/golden/caustic_sourceplane_a0.998_i30_rk45.bin"
+
+
+def test_caustic_sourceplane_matches_reference_binary():
+    """Per-pixel comparison vs the reference caustic_sourceplane binary
+    (caustic_sourceplane.cpp:195-260; sphere target at r_lim with
+    (theta_s, phi_s) landing coordinates and bundle Jacobians on the
+    celestial sphere; config: dist 500, incl 30, spin 0.998, r_lim 1000,
+    82x82 pixels, RK45 tol 1e-8). Escape/order maps must match exactly;
+    landing angles to ~1e-10 rad; det J sub-1e-4 where orders agree."""
+    raw = np.fromfile(GOLDEN_SOURCEPLANE, "<f8")
+    n = 82 * 82
+    names = ["det_j", "sign_j", "order", "escaped", "theta_s", "phi_s",
+             "rdot_flips", "equat_cross"]
+    ref = {nm: raw[i * n:(i + 1) * n].reshape(82, 82) for i, nm in enumerate(names)}
+
+    dx = 24.0 / 81
+    grid = ImagePlaneGrid.from_steps(-12.0, 12.0, dx, -12.0, 12.0, dx)
+    maps = compute(SPIN, 500.0, 30.0, grid, target="sphere", r_lim=1000.0,
+                   method="rk45", steplim=100000)
+
+    em = maps["escaped"].astype(bool)
+    er = ref["escaped"] > 0.5
+    assert (em == er).mean() > 0.999
+    both = em & er
+
+    assert np.median(np.abs(maps["theta_s"][both] - ref["theta_s"][both])) < 1e-7
+    d = np.abs(maps["phi_s"][both] - ref["phi_s"][both])
+    d = np.minimum(d, 2 * np.pi - d)
+    assert np.median(d) < 1e-7
+
+    om = maps["order"]
+    good = both & np.isfinite(ref["order"])
+    assert (om[good] == ref["order"][good]).mean() > 0.999
+
+    dm, dr = maps["det_j"], ref["det_j"]
+    ok = (both & np.isfinite(dm) & np.isfinite(dr) & (dm != SENTINEL)
+          & (np.abs(dr) < 1e29) & (om == ref["order"]))
+    assert ok.sum() > 4000
+    rel = np.abs(dm[ok] / dr[ok] - 1)
+    assert np.median(rel) < 1e-4, f"det_j median {np.median(rel)}"
+    assert np.percentile(rel, 90) < 1e-3
+    assert (np.sign(dm[ok]) == np.sign(dr[ok])).mean() > 0.999
+
+
 GOLDEN_PLANE = "tests/golden/caustic_plane_a0.998_i30_rk45.bin"
 
 

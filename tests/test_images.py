@@ -82,6 +82,18 @@ def test_powerlaw3_continuity():
 GOLDEN_BIN = "tests/golden/disc_image_a0.998_i60_rk4.bin"
 
 
+def _read_image_golden(path, img_n=40):
+    raw = open(path, "rb").read()
+    n = img_n * img_n
+    maps = {}
+    off = 0
+    for name in ["flux", "r", "phi", "enshift", "time", "emis"]:
+        maps[name] = np.frombuffer(raw, dtype="<f8", count=n, offset=off).reshape(img_n, img_n)
+        off += n * 8
+    counts = np.fromfile(path + ".counts", dtype="<i4").reshape(img_n, img_n)
+    return maps, counts
+
+
 def test_image_matches_reference_binary(small_image):
     """Per-pixel comparison vs the reference imageplane_disc_image
     accumulation arrays (config: dist 500, incl 60, spin 0.998, r_disc 20,
@@ -89,14 +101,7 @@ def test_image_matches_reference_binary(small_image):
     same-precision runs agree to ~1e-4 per pixel; the thresholds leave
     room for separatrix chatter."""
     grid, out = small_image
-    raw = open(GOLDEN_BIN, "rb").read()
-    n = 40 * 40
-    maps = {}
-    off = 0
-    for name in ["flux", "r", "phi", "enshift", "time", "emis"]:
-        maps[name] = np.frombuffer(raw, dtype="<f8", count=n, offset=off).reshape(40, 40)
-        off += n * 8
-    counts = np.fromfile(GOLDEN_BIN + ".counts", dtype="<i4").reshape(40, 40)
+    maps, counts = _read_image_golden(GOLDEN_BIN)
 
     mine_c = out["counts"]
     assert abs(int(mine_c.sum()) - int(counts.sum())) / counts.sum() < 0.05
@@ -109,3 +114,32 @@ def test_image_matches_reference_binary(small_image):
         mine = out[key][good]
         rel = np.abs(mine / ref - 1)
         assert np.median(rel) < tol, f"{name}: median dev {np.median(rel):.5f}"
+
+
+GOLDEN_ISCO = "tests/golden/disc_image_isco_a0.998_i60_rk45.bin"
+
+
+def test_image_isco_matches_reference_binary():
+    """Per-pixel comparison vs the reference imageplane_disc_image_isco
+    accumulation arrays (imageplane_disc_image_isco.cpp:113; config: dist
+    500, incl 60, spin 0.998, r_disc 20, 82x82 rays -> 40x40 image, RK45
+    tol 1e-8). The ISCO variant's theta_prev-aware crossing detector and
+    the RK45 destination clamp are both on this path; ray-count parity
+    must be exact and per-pixel observables sub-1e-4 at count>=3."""
+    maps, counts = _read_image_golden(GOLDEN_ISCO)
+
+    dx = 40.0 / 81
+    grid = ImagePlaneGrid.from_steps(-20.0, 20.0, dx, -20.0, 20.0, dx)
+    out = image_compute(SPIN, 500.0, 60.0, grid, r_disc=20.0,
+                        img_nx=40, img_ny=40, variant="isco",
+                        method="rk45", steplim=100000)
+
+    mine_c = out["counts"]
+    assert int(mine_c.sum()) == int(counts.sum())
+    good = (counts >= 3) & (mine_c >= 3)
+    assert good.sum() > 500
+    for name, key, tol in [("r", "r", 1e-4), ("enshift", "enshift", 1e-4),
+                           ("flux", "flux", 1e-3), ("time", "time", 1e-4),
+                           ("emis", "emis", 1e-3)]:
+        rel = np.abs(out[key][good] / maps[name][good] - 1)
+        assert np.median(rel) < tol, f"{name}: median dev {np.median(rel):.2e}"
