@@ -2,8 +2,8 @@
 
 Compiled on demand with the system C++ toolchain (g++ -O3 -fopenmp) into the
 package directory; if no toolchain is available the JAX CPU path remains the
-fallback. Used as a cross-language validation oracle and a fast
-multithreaded CPU engine.
+fallback. Used as a cross-language validation oracle (Euler/RK4/DOPRI5, all
+theta-surface destinations) and a fast multithreaded CPU engine.
 """
 
 from __future__ import annotations
@@ -15,13 +15,15 @@ from pathlib import Path
 
 import numpy as np
 
-from raytrace_tpu.ops.integrate import StepControl
+from raytrace_tpu.ops.integrate import RK45_STEPLIM, STEPLIM, StepControl
 from raytrace_tpu.rays import RayBatch
 
 _SRC = Path(__file__).resolve().parents[2] / "csrc" / "geodesic.cpp"
 _LIB = Path(__file__).resolve().parent / "_geodesic.so"
 
 _lib = None
+
+_METHOD_CODE = {"euler": 0, "rk4": 1, "rk45": 2}
 
 
 def _build() -> bool:
@@ -57,17 +59,33 @@ def load():
     i = ctypes.POINTER(ctypes.c_int32)
     lib.rt_native_trace.restype = None
     lib.rt_native_trace.argtypes = (
-        [ctypes.c_int32, ctypes.c_int32]
-        + [ctypes.c_double] * 3
-        + [ctypes.c_int32]
-        + [ctypes.c_double] * 7
-        + [d] * 4  # t r theta phi
-        + [d] * 3  # k h Q
-        + [d] * 2  # signs
-        + [i] * 4  # steps status flips eq_cross
+        [ctypes.c_int32, ctypes.c_int32]            # n, method
+        + [ctypes.c_double] * 6                     # spin boundary rlim tl isco rout
+        + [ctypes.c_int32] * 2                      # steplim, max_iters
+        + [ctypes.c_double] * 11                    # ctrl
+        + [d] * 4                                   # t r theta phi
+        + [d] * 3                                   # k h Q
+        + [d] * 3                                   # signs, dt
+        + [i] * 4                                   # steps status flips eq_cross
     )
     _lib = lib
     return lib
+
+
+def _dest_params(dest, theta_lim):
+    """Map a destinations.py surface onto the (theta_lim, r_isco, r_out)
+    C-side descriptor. r_isco < 0 selects the plain ThetaLimit behaviour."""
+    import math
+
+    from raytrace_tpu.destinations import DiscWithISCO, ThetaLimit
+
+    if dest is None:
+        return (math.pi / 2 if theta_lim is None else float(theta_lim)), -1.0, -1.0
+    if isinstance(dest, DiscWithISCO):
+        return float(dest.theta_lim), float(dest.r_isco), float(dest.r_out)
+    if isinstance(dest, ThetaLimit):
+        return float(dest.theta_lim), -1.0, -1.0
+    raise NotImplementedError(f"native engine does not support {type(dest).__name__}")
 
 
 def native_trace(
@@ -75,24 +93,28 @@ def native_trace(
     spin,
     *,
     method: str = "rk4",
+    dest=None,
     r_max=1000.0,
     theta_lim=None,
-    steplim: int = 30_000,
+    steplim: int | None = None,
     ctrl: StepControl = StepControl(),
+    boundary=None,
 ) -> RayBatch:
-    """trace() through the native engine (theta-limit destination only).
+    """trace() through the native engine (theta-surface destinations).
 
-    Same RayBatch-in / RayBatch-out contract as ops.trace for the euler/rk4
-    theta-limit configuration.
+    Same RayBatch-in / RayBatch-out contract as ops.trace (with
+    refine_crossing=False) for euler/rk4/rk45 over ThetaLimit or
+    DiscWithISCO destinations.
     """
     import jax.numpy as jnp
-    import math
 
     lib = load()
     if lib is None:
         raise RuntimeError("native engine unavailable (no C++ toolchain?)")
-    if theta_lim is None:
-        theta_lim = math.pi / 2
+    tl, r_isco, r_out = _dest_params(dest, theta_lim)
+    if steplim is None:
+        steplim = RK45_STEPLIM if method == "rk45" else STEPLIM
+    max_iters = steplim + steplim // 4 + 16
 
     n = rays.n_rays
     # np.array with copy=True: np.asarray on a CPU jax array can return a
@@ -103,6 +125,9 @@ def native_trace(
     t, r, th, ph = f(rays.t), f(rays.r), f(rays.theta), f(rays.phi)
     k, h, Q = f(rays.k), f(rays.h), f(rays.Q)
     rs, ts = f(rays.rdot_sign), f(rays.thetadot_sign)
+    # dt <= 0 asks the C side to seed the adaptive step (fresh propagation,
+    # matching trace()'s resume=False); a resumed batch carries its dt
+    dt = np.zeros(n, dtype=np.float64)
     steps, status = ii(rays.steps), ii(rays.status)
     flips, eqx = ii(rays.rdot_flips), ii(rays.equatorial_crossings)
 
@@ -112,18 +137,20 @@ def native_trace(
     Pi = lambda a: a.ctypes.data_as(i32)
 
     lib.rt_native_trace(
-        n, 1 if method == "rk4" else 0, float(spin), float(r_max),
-        float(theta_lim), int(steplim),
+        n, _METHOD_CODE[method], float(spin),
+        -1.0 if boundary is None else float(boundary),
+        float(r_max), tl, r_isco, r_out, int(steplim), int(max_iters),
         ctrl.precision, ctrl.theta_precision, ctrl.max_tstep,
-        ctrl.maxtstep_rlim, ctrl.max_phistep, ctrl.min_step, ctrl.horizon_eps,
-        P(t), P(r), P(th), P(ph), P(k), P(h), P(Q), P(rs), P(ts),
+        ctrl.maxtstep_rlim, ctrl.max_phistep, ctrl.min_step, ctrl.rk45_tol,
+        ctrl.horizon_eps, ctrl.safety, ctrl.fac_min, ctrl.fac_max,
+        P(t), P(r), P(th), P(ph), P(k), P(h), P(Q), P(rs), P(ts), P(dt),
         Pi(steps), Pi(status), Pi(flips), Pi(eqx),
     )
 
     return rays.replace(
         t=jnp.asarray(t), r=jnp.asarray(r), theta=jnp.asarray(th),
         phi=jnp.asarray(ph), rdot_sign=jnp.asarray(rs),
-        thetadot_sign=jnp.asarray(ts), steps=jnp.asarray(steps),
-        status=jnp.asarray(status), rdot_flips=jnp.asarray(flips),
-        equatorial_crossings=jnp.asarray(eqx),
+        thetadot_sign=jnp.asarray(ts), dt=jnp.asarray(dt),
+        steps=jnp.asarray(steps), status=jnp.asarray(status),
+        rdot_flips=jnp.asarray(flips), equatorial_crossings=jnp.asarray(eqx),
     )
