@@ -20,7 +20,9 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from raytrace_tpu.geometry.kerr import metric_coeffs
 from raytrace_tpu.rays import RayBatch, blank_batch
@@ -111,6 +113,39 @@ def _plane_ray(x, y, D, incl, phi0, a_trace, dtype):
     return t, r, theta, phi, (pt, pr, ptheta, pphi), (k, h, Q), rdot_sign, thetadot_sign
 
 
+def _seed_f64(grid: ImagePlaneGrid, dist, incl_deg, phi0, a_trace, xy=None):
+    """Run _plane_ray in true f64 on the host CPU, returning numpy arrays.
+
+    The far-field image plane is precision-critical (SURVEY §7): at the
+    reference's canonical dist = 10^4 the f32 ulp of r is ~10^-3 r_g and the
+    ulp of theta ~1.2e-7 rad (~10^-3 r_g transverse), so f32-computed
+    arccos/quadratic chains would put several-ulp errors on every starting
+    position. Seeding in f64 and rounding once to the working dtype keeps
+    the start error at <= 0.5 ulp — the representability floor. Runs on CPU
+    because the TPU computes f64 at f32 precision, and eagerly off-device
+    because source construction is one-shot.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu), jax.enable_x64(True):
+        incl = jnp.asarray(float(incl_deg), jnp.float64) * jnp.pi / 180.0
+        if xy is None:
+            x, y = grid.xy(jnp.float64)
+        else:
+            x = jnp.asarray(np.asarray(xy[0], np.float64))
+            y = jnp.asarray(np.asarray(xy[1], np.float64))
+        out = _plane_ray(
+            x, y,
+            jnp.asarray(float(dist), jnp.float64), incl,
+            jnp.asarray(float(phi0), jnp.float64),
+            jnp.asarray(float(a_trace), jnp.float64), jnp.float64,
+        )
+        return jax.tree.map(np.asarray, out), np.asarray(x), np.asarray(y)
+
+
+def _is_concrete(*vals) -> bool:
+    return not any(isinstance(v, jax.core.Tracer) for v in vals)
+
+
 def image_plane(
     dist,
     incl_deg,
@@ -125,33 +160,52 @@ def image_plane(
     ``trace_spin`` below) and pass reverse=True to all redshift calls.
     ``rays.alpha`` / ``rays.beta`` store the plane (x, y) coordinates
     (imageplane.cpp:117-118).
+
+    Whenever the parameters are concrete the initial conditions are seeded
+    in true f64 on the host CPU and rounded once to the working dtype — see
+    _seed_f64 (bit-identical on the CPU f64 path; on TPU it fixes both the
+    far-field f32 start precision and the eager-op tunnel round trips).
+    Traced parameters (e.g. spin under jax.grad) keep the all-traced
+    construction.
     """
     a_trace = -spin  # time reversal (imageplane.cpp:12)
-    incl = jnp.asarray(incl_deg, dtype=dtype) * jnp.pi / 180.0
-    x, y = grid.xy(dtype)
-    D = jnp.asarray(dist, dtype=dtype)
+    if _is_concrete(dist, incl_deg, spin, phi0):
+        parts, x, y = _seed_f64(grid, dist, incl_deg, phi0, a_trace)
+    else:
+        incl = jnp.asarray(incl_deg, dtype=dtype) * jnp.pi / 180.0
+        x, y = grid.xy(dtype)
+        D = jnp.asarray(dist, dtype=dtype)
+        parts = _plane_ray(
+            x, y, D, incl, jnp.asarray(phi0, dtype=dtype), a_trace, dtype
+        )
+    return _batch_from_parts(parts, x, y, dtype)
 
-    t, r, theta, phi, mom, consts, rdot_sign, thetadot_sign = _plane_ray(
-        x, y, D, incl, jnp.asarray(phi0, dtype=dtype), a_trace, dtype
-    )
-    base = blank_batch(grid.n_rays, dtype)
+
+def _batch_from_parts(parts, x, y, dtype) -> RayBatch:
+    """Assemble a live RayBatch, rounding every field once to the working
+    dtype (a no-op for the all-traced construction)."""
+    t, r, theta, phi, mom, consts, rdot_sign, thetadot_sign = parts
+    ft = jax.dtypes.canonicalize_dtype(dtype)
+    c = lambda v: jnp.asarray(v, ft)
+    n = int(np.shape(x)[0])
+    base = blank_batch(n, dtype)
     return base.replace(
-        t=t,
-        r=r,
-        theta=theta,
-        phi=phi,
-        pt=mom[0],
-        pr=mom[1],
-        ptheta=mom[2],
-        pphi=mom[3],
-        k=consts[0],
-        h=consts[1],
-        Q=consts[2],
-        rdot_sign=rdot_sign,
-        thetadot_sign=thetadot_sign,
-        steps=jnp.zeros((grid.n_rays,), dtype=jnp.int32),
-        alpha=x,
-        beta=y,
+        t=c(t),
+        r=c(r),
+        theta=c(theta),
+        phi=c(phi),
+        pt=c(mom[0]),
+        pr=c(mom[1]),
+        ptheta=c(mom[2]),
+        pphi=c(mom[3]),
+        k=c(consts[0]),
+        h=c(consts[1]),
+        Q=c(consts[2]),
+        rdot_sign=c(rdot_sign),
+        thetadot_sign=c(thetadot_sign),
+        steps=jnp.zeros((n,), dtype=jnp.int32),
+        alpha=c(x),
+        beta=c(y),
     )
 
 
@@ -170,38 +224,34 @@ def image_plane_bundles(
     local lensing Jacobians. Returns a RayBatch of 5 * nx * ny rays ordered
     [centre, east(+x), west(-x), north(+y), south(-y)] x pixels — i.e. ray
     index = bundle_slot * n_pixels + pixel — plus the eps actually used.
+
+    f32 precision envelope: the satellites' starting positions differ by
+    ~eps/D in theta, so once the working dtype is f32 the bundle geometry
+    is quantised at the ulp of theta (~1.2e-7 rad). At eps_frac = 0.01 and
+    pixel scales ~0.1 r_g that is adequate up to D ~ 10^3; beyond that,
+    raise eps_frac (the Jacobian is linear well past 10x this eps) or stay
+    in f64 — the seeding below is already exact to 0.5 ulp either way.
     """
     a_trace = -spin
-    incl = jnp.asarray(incl_deg, dtype=dtype) * jnp.pi / 180.0
-    xc, yc = grid.xy(dtype)
-    D = jnp.asarray(dist, dtype=dtype)
     eps = eps_frac * min(grid.dx, grid.dy)
-
     offsets = [(0.0, 0.0), (eps, 0.0), (-eps, 0.0), (0.0, eps), (0.0, -eps)]
-    xs = jnp.concatenate([xc + ox for ox, _ in offsets])
-    ys = jnp.concatenate([yc + oy for _, oy in offsets])
 
-    t, r, theta, phi, mom, consts, rdot_sign, thetadot_sign = _plane_ray(
-        xs, ys, D, incl, jnp.asarray(phi0, dtype=dtype), a_trace, dtype
-    )
-    n = xs.shape[0]
-    base = blank_batch(n, dtype)
-    rays = base.replace(
-        t=t,
-        r=r,
-        theta=theta,
-        phi=phi,
-        pt=mom[0],
-        pr=mom[1],
-        ptheta=mom[2],
-        pphi=mom[3],
-        k=consts[0],
-        h=consts[1],
-        Q=consts[2],
-        rdot_sign=rdot_sign,
-        thetadot_sign=thetadot_sign,
-        steps=jnp.zeros((n,), dtype=jnp.int32),
-        alpha=xs,
-        beta=ys,
-    )
-    return rays, eps
+    if _is_concrete(dist, incl_deg, spin, phi0):
+        # plane coordinates and seeds in f64; one rounding at the end
+        xg = np.asarray(grid.x0, np.float64) + np.arange(grid.nx) * grid.dx
+        yg = np.asarray(grid.y0, np.float64) + np.arange(grid.ny) * grid.dy
+        Xc, Yc = np.meshgrid(xg, yg, indexing="ij")
+        xc, yc = Xc.reshape(-1), Yc.reshape(-1)
+        xs = np.concatenate([xc + ox for ox, _ in offsets])
+        ys = np.concatenate([yc + oy for _, oy in offsets])
+        parts, xs, ys = _seed_f64(grid, dist, incl_deg, phi0, a_trace, xy=(xs, ys))
+    else:
+        incl = jnp.asarray(incl_deg, dtype=dtype) * jnp.pi / 180.0
+        xc, yc = grid.xy(dtype)
+        D = jnp.asarray(dist, dtype=dtype)
+        xs = jnp.concatenate([xc + ox for ox, _ in offsets])
+        ys = jnp.concatenate([yc + oy for _, oy in offsets])
+        parts = _plane_ray(
+            xs, ys, D, incl, jnp.asarray(phi0, dtype=dtype), a_trace, dtype
+        )
+    return _batch_from_parts(parts, xs, ys, dtype), eps
