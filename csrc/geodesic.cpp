@@ -33,6 +33,7 @@ constexpr int STATUS_RLIM = 1 << 2;
 constexpr int STATUS_STEPLIM = 1 << 3;
 constexpr int STATUS_ERGO = 1 << 4;
 constexpr int STATUS_NEG_ENERGY = 1 << 5;
+constexpr int STATUS_NUMERIC = 1 << 6;  // rates over/underflowed the dtype
 
 struct Ctrl {
   double precision;
@@ -201,6 +202,14 @@ void march_ray(int rk4, double a, double horizon, double r_lim,
       r_was_positive = true;
     }
 
+    // numerically dead: no step size can fix non-finite rates at the
+    // current position (ops/integrate.py _k1_finite)
+    if (!(std::isfinite(k1.pt) && std::isfinite(k1.pr) &&
+          std::isfinite(k1.ptheta) && std::isfinite(k1.pphi))) {
+      status |= STATUS_NUMERIC;
+      break;
+    }
+
     flag_nonphysical(r, a, k1, k1.pt, status);
 
     // step heuristic (_base_step_size)
@@ -281,10 +290,10 @@ void march_ray(int rk4, double a, double horizon, double r_lim,
   }
   steps += n;
   if (n >= steplim &&
-      !(status & (STATUS_DEST | STATUS_HORIZON | STATUS_RLIM))) {
+      !(status & (STATUS_DEST | STATUS_HORIZON | STATUS_RLIM)))
     status |= STATUS_STEPLIM;
+  if ((status & (STATUS_STEPLIM | STATUS_NUMERIC)) && steps > 0)
     steps = -steps;
-  }
 }
 
 // ---------------------------------------------------------------------------
@@ -362,6 +371,12 @@ void march_ray_rk45(double a, double horizon, double r_lim, const Dest& dest,
     if (r_flip) rdot_sign = -rdot_sign;
     r_was_positive = k1.rdot_sq > 0;
     const double pr1 = std::fabs(k1.pr) * rdot_sign;
+
+    if (!(std::isfinite(k1.pt) && std::isfinite(pr1) &&
+          std::isfinite(k1.ptheta) && std::isfinite(k1.pphi))) {
+      status |= STATUS_NUMERIC;
+      break;
+    }
 
     flag_nonphysical(r, a, k1, k1.pt, status);
 
@@ -441,13 +456,25 @@ void march_ray_rk45(double a, double horizon, double r_lim, const Dest& dest,
     const double er = err_r / sc_r, eth = err_th / sc_th;
     const double err_norm = std::sqrt(0.5 * (er * er + eth * eth));
 
-    double fac = c.safety * std::pow(1.0 / std::max(err_norm, 1e-10), 0.2);
+    // non-finite trial: maximal-error reject (shrink at fac_min), and a
+    // lane still non-finite at the MIN_STEP floor is numerically dead
+    // (ops/integrate.py _rk45_body trial_ok handling)
+    const bool trial_ok = std::isfinite(err_norm) && std::isfinite(r_new) &&
+                          std::isfinite(th_new) && std::isfinite(t_new) &&
+                          std::isfinite(phi_new);
+    const double err_eff = trial_ok ? err_norm : 1e30;
+    if (!trial_ok && h_try <= c.min_step) {
+      status |= STATUS_NUMERIC;
+      break;
+    }
+
+    double fac = c.safety * std::pow(1.0 / std::max(err_eff, 1e-10), 0.2);
     fac = std::min(std::max(fac, c.fac_min), c.fac_max);
     const double step_new = std::max(h_try * fac, c.min_step);
 
-    const bool accept_err = err_norm <= 1.0;
+    const bool accept_err = err_eff <= 1.0;
     const bool force = !accept_err && step_new <= c.min_step;
-    const bool accept = accept_err || force;
+    const bool accept = (accept_err || force) && trial_ok;
 
     // carried step update: accepted unclamped steps adopt the controller
     // prediction; accepted clamped steps keep the (capped) old step;
@@ -490,7 +517,7 @@ void march_ray_rk45(double a, double horizon, double r_lim, const Dest& dest,
     }
   }
   steps += n;
-  if ((status & STATUS_STEPLIM) && steps > 0) steps = -steps;
+  if ((status & (STATUS_STEPLIM | STATUS_NUMERIC)) && steps > 0) steps = -steps;
 }
 
 }  // namespace

@@ -215,12 +215,19 @@ def compute(
     steplim=None,
     ctrl=StepControl(),
     trace_fn=trace_auto,
+    dtype=jnp.float64,
 ):
     """Trace the camera (bundles or plain grid) and build the caustic maps.
 
     Returns a dict of (nx, ny) maps whose keys depend on the target, always
     including det_j, sign_j, order, plus diagnostics.
+
+    ``dtype`` is the working precision of the whole traced pipeline
+    (sources, destination parameters, march); pass jnp.float32 to run the
+    explicit-f32 path the TPU executes.
     """
+    import jax
+
     a_trace = -spin
     incl = np.deg2rad(incl_deg)
     r_isco = isco_radius(spin)
@@ -241,12 +248,17 @@ def compute(
     else:
         raise ValueError(f"unknown target {target!r}")
 
+    # the destination's traced parameters must share the working dtype, or
+    # the jitted march silently promotes every op back to f64
+    dest = jax.tree.map(lambda v: jnp.asarray(v, dtype), dest)
+
     if use_bundles:
         rays, eps = image_plane_bundles(
-            dist, incl_deg, grid, spin, phi0, eps_frac=bundle_eps_frac
+            dist, incl_deg, grid, spin, phi0, eps_frac=bundle_eps_frac,
+            dtype=dtype,
         )
     else:
-        rays = image_plane(dist, incl_deg, grid, spin, phi0)
+        rays = image_plane(dist, incl_deg, grid, spin, phi0, dtype=dtype)
         eps = None
 
     rays = redshift_start(rays, a_trace, V=0.0, reverse=True)

@@ -72,12 +72,16 @@ def compute(
     steplim=None,
     ctrl=StepControl(),
     trace_fn=trace_auto,
+    dtype=jnp.float64,
 ):
     """Trace the camera grid and accumulate the per-pixel disc maps.
 
     Returns dict of (img_nx, img_ny) arrays: counts, flux, r, phi, enshift,
     time, emis — count-normalised like the reference
     (imageplane_disc_image.cpp:166-176).
+
+    ``dtype`` is the working precision of the traced pipeline; pass
+    jnp.float32 to run the explicit-f32 path the TPU executes.
     """
     img_nx = img_nx or grid.nx
     img_ny = img_ny or grid.ny
@@ -88,7 +92,7 @@ def compute(
         raise ValueError("Euler integrator not supported for the ISCO variant "
                          "(imageplane_disc_image_isco.cpp:76-80)")
 
-    rays = image_plane(dist, incl_deg, grid, spin, phi0)
+    rays = image_plane(dist, incl_deg, grid, spin, phi0, dtype=dtype)
     rays = redshift_start(rays, a_trace, V=0.0, reverse=True)
 
     if variant == "plain":
@@ -99,6 +103,8 @@ def compute(
         dest = DiscWithISCO(r_isco=r_isco, r_out=r_disc)
     else:
         raise ValueError(f"unknown variant {variant!r}")
+    # destination params share the working dtype (no silent f64 promotion)
+    dest = jax.tree.map(lambda v: jnp.asarray(v, dtype), dest)
 
     out = trace_fn(
         rays, a_trace, method=method, dest=dest, r_max=1.1 * dist,

@@ -44,7 +44,7 @@ from raytrace_tpu.ops.integrate import (
     _rk45_body,
     _seed_rk45_step,
 )
-from raytrace_tpu.rays import RAY_STATUS_STEPLIM, RayBatch
+from raytrace_tpu.rays import RAY_STATUS_NUMERIC, RAY_STATUS_STEPLIM, RayBatch
 
 
 @partial(
@@ -111,7 +111,9 @@ def trace_scan(
     (final, step_f), _ = lax.scan(chunk, (rays, rays.dt), None, length=n_chunks)
     final = final.replace(dt=step_f)
 
-    stuck = ((final.status & RAY_STATUS_STEPLIM) != 0) & (final.steps > 0)
+    stuck = (
+        (final.status & (RAY_STATUS_STEPLIM | RAY_STATUS_NUMERIC)) != 0
+    ) & (final.steps > 0)
     final = final.replace(steps=jnp.where(stuck, -final.steps, final.steps))
     if refine_crossing:
         final = _refine_theta_crossing(final, dest, spin)

@@ -42,6 +42,7 @@ from raytrace_tpu.rays import (
     RAY_STATUS_ERGO,
     RAY_STATUS_HORIZON,
     RAY_STATUS_NEG_ENERGY,
+    RAY_STATUS_NUMERIC,
     RAY_STATUS_RLIM,
     RAY_STATUS_STEPLIM,
     RayBatch,
@@ -292,6 +293,23 @@ def _safe_div(num, den):
     return num / safe
 
 
+def _k1_finite(pt1, pr1, ptheta1, pphi1):
+    """Lanes whose first-stage rates over/underflowed the working dtype.
+
+    A lane with non-finite k1 can never advance (every retry re-evaluates
+    the same poisoned point), so it must be flagged RAY_STATUS_NUMERIC and
+    frozen — otherwise it rejects forever and a single lane pins the whole
+    lock-step batch to max_iters (observed: f32 knife-edge rays driven onto
+    the polar axis burning 125k iterations for a 2k-step ensemble).
+    """
+    return (
+        jnp.isfinite(pt1)
+        & jnp.isfinite(pr1)
+        & jnp.isfinite(ptheta1)
+        & jnp.isfinite(pphi1)
+    )
+
+
 def _safe_eval_state(st: RayBatch, active):
     """Give inactive lanes a benign evaluation point.
 
@@ -333,6 +351,9 @@ def _euler_rk4_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, meth
 
     advance = active & ~theta_flip
     status = _nonphysical_status(st_eval, spin, pt1, pphi1, advance, rates1)
+    k1_bad = advance & ~_k1_finite(pt1, pr1, ptheta1, pphi1)
+    advance = advance & ~k1_bad
+    status = status | _flag(k1_bad, RAY_STATUS_NUMERIC)
     st = st.replace(status=status)
 
     step = _base_step_size(st_eval, horizon, pt1, pr1, ptheta1, pphi1, rlim, ctrl)
@@ -411,7 +432,10 @@ def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active, s
     ) = _k1_stage(st_eval, spin)
 
     advance = active & ~theta_flip
-    st = st.replace(status=_nonphysical_status(st_eval, spin, pt1, pphi1, advance, rates1))
+    status = _nonphysical_status(st_eval, spin, pt1, pphi1, advance, rates1)
+    k1_bad = advance & ~_k1_finite(pt1, pr1, ptheta1, pphi1)
+    advance = advance & ~k1_bad
+    st = st.replace(status=status | _flag(k1_bad, RAY_STATUS_NUMERIC))
 
     # Horizon step-cap: DOPRI5's large negative tableau coefficients can push
     # intermediate stages inside the horizon where the error estimator cannot
@@ -481,13 +505,29 @@ def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active, s
     sc_th = ctrl.rk45_tol * (1.0 + jnp.maximum(jnp.abs(st_eval.theta), jnp.abs(th_new)))
     err_norm = jnp.sqrt(0.5 * ((err_r / sc_r) ** 2 + (err_th / sc_th) ** 2))
 
-    fac = ctrl.safety * jnp.power(1.0 / jnp.maximum(err_norm, 1e-10), 0.2)
+    # A non-finite trial (stages wandered into an over/underflow region of
+    # the working dtype) is treated as a maximal-error reject so the step
+    # shrinks at fac_min instead of poisoning the carried step with NaN; a
+    # lane whose trial is still non-finite AT the MIN_STEP floor has nowhere
+    # left to go and is flagged numerically dead (terminal).
+    trial_ok = (
+        jnp.isfinite(err_norm)
+        & jnp.isfinite(r_new)
+        & jnp.isfinite(th_new)
+        & jnp.isfinite(t_new)
+        & jnp.isfinite(phi_new)
+    )
+    err_eff = jnp.where(trial_ok, err_norm, jnp.full_like(err_norm, 1e30))
+    numeric_stuck = advance & ~trial_ok & (h_try <= ctrl.min_step)
+    st = st.replace(status=st.status | _flag(numeric_stuck, RAY_STATUS_NUMERIC))
+
+    fac = ctrl.safety * jnp.power(1.0 / jnp.maximum(err_eff, 1e-10), 0.2)
     fac = jnp.clip(fac, ctrl.fac_min, ctrl.fac_max)
     step_new = jnp.maximum(h_try * fac, ctrl.min_step)
 
-    accept_err = err_norm <= 1.0
+    accept_err = err_eff <= 1.0
     force = ~accept_err & (step_new <= ctrl.min_step)
-    accept = advance & (accept_err | force)
+    accept = advance & (accept_err | force) & trial_ok
 
     # Carried step update (raytracer.cpp:1521-1539): accepted unclamped steps
     # adopt the controller prediction; accepted clamped steps keep the old
@@ -622,7 +662,9 @@ def trace(
     # Stuck rays get their step count negated so downstream steps > 0 filters
     # drop them (raytracer.cpp:336-337). Only freshly-stuck rays (positive
     # count) are negated — a resumed batch may already carry negated ones.
-    stuck = ((final.status & RAY_STATUS_STEPLIM) != 0) & (final.steps > 0)
+    stuck = (
+        (final.status & (RAY_STATUS_STEPLIM | RAY_STATUS_NUMERIC)) != 0
+    ) & (final.steps > 0)
     final = final.replace(steps=jnp.where(stuck, -final.steps, final.steps))
 
     if refine_crossing:

@@ -43,7 +43,7 @@ from raytrace_tpu.ops.integrate import (
     _rk45_body,
     _seed_rk45_step,
 )
-from raytrace_tpu.rays import RAY_STATUS_STEPLIM, RayBatch
+from raytrace_tpu.rays import RAY_STATUS_NUMERIC, RAY_STATUS_STEPLIM, RayBatch
 
 # Block shape: rows of the f32 (8,128) tile marched together. 8 rows = one
 # vreg per op (finest early-retirement granularity); larger blocks amortise
@@ -158,7 +158,9 @@ def _make_kernel(method, dest_kind, ctrl: StepControl, unroll: int):
             cond, body, (st0, st0.dt, jnp.int32(0))
         )
         final = final.replace(dt=step_f)
-        stuck = ((final.status & RAY_STATUS_STEPLIM) != 0) & (final.steps > 0)
+        stuck = (
+        (final.status & (RAY_STATUS_STEPLIM | RAY_STATUS_NUMERIC)) != 0
+    ) & (final.steps > 0)
         final = final.replace(steps=jnp.where(stuck, -final.steps, final.steps))
 
         for idx, name in enumerate(_F_FIELDS):

@@ -20,6 +20,11 @@ RAY_STATUS_RLIM = 1 << 2  # reached the outer radial limit
 RAY_STATUS_STEPLIM = 1 << 3  # exceeded the maximum step count (stuck)
 RAY_STATUS_ERGO = 1 << 4  # p^t <= 0 inside the ergosphere (non-physical)
 RAY_STATUS_NEG_ENERGY = 1 << 5  # negative Killing energy (non-physical)
+# Numerically dead: the rate evaluation at the ray's position over/underflowed
+# the working dtype (e.g. an f32 knife-edge ray driven onto the polar axis,
+# where h^2/sin^2 theta overflows). No reference counterpart (its f64 noise
+# floor never reaches these states); terminal, excluded like STEPLIM.
+RAY_STATUS_NUMERIC = 1 << 6
 
 
 @struct.dataclass
@@ -82,7 +87,13 @@ class RayBatch:
     def active(self) -> jnp.ndarray:
         """Rays eligible for (further) propagation: steps >= 0 and no
         terminal status bit set."""
-        terminal = RAY_STATUS_DEST | RAY_STATUS_HORIZON | RAY_STATUS_RLIM | RAY_STATUS_STEPLIM
+        terminal = (
+            RAY_STATUS_DEST
+            | RAY_STATUS_HORIZON
+            | RAY_STATUS_RLIM
+            | RAY_STATUS_STEPLIM
+            | RAY_STATUS_NUMERIC
+        )
         return (self.steps >= 0) & ((self.status & terminal) == 0)
 
     @property

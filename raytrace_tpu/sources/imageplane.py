@@ -68,11 +68,14 @@ class ImagePlaneGrid:
         return jnp.round((y - self.y0) / self.dy).astype(jnp.int32)
 
 
-def _plane_ray(x, y, D, incl, phi0, a_trace, dtype):
+def _plane_ray(x, y, D, incl, phi0, a_trace, dtype, work_eps=None):
     """Initial BL position, momentum and constants for one plane point.
 
     Geometry and null-condition quadratic per imageplane.cpp:50-113;
-    a_trace is the (already negated) propagation spin.
+    a_trace is the (already negated) propagation spin. ``work_eps`` is the
+    machine epsilon of the dtype the MARCH will run in (may be coarser than
+    the dtype this function computes in — f64 seeding of an f32 pipeline);
+    it sets the knife-edge regularisation floor below.
     """
     t = jnp.zeros_like(x)
     r = jnp.sqrt(D * D + x * x + y * y)
@@ -94,26 +97,36 @@ def _plane_ray(x, y, D, incl, phi0, a_trace, dtype):
     pt = jnp.where(pt < 0, (-B - disc) / (2.0 * A), pt)
 
     # analytic constants of motion (imageplane.cpp:100-113; closed forms).
-    # Rays with y = 0 start *exactly at their polar turning point*
-    # (thetadot_sq(theta_0) = l_theta^2 = 0 identically), where the
+    # Rays with y ~ 0 start *exactly at their polar turning point*
+    # (thetadot_sq(theta_0) = l_theta^2 ~ 0 identically), where the
     # integrator's turning-point sign gate degenerates to a rounding
     # coin-flip — the unlucky sign marches the ray into the forbidden
     # region and it spirals off over the pole (the reference has the same
-    # y = 0 knife edge). Regularise with a small polar impact parameter:
-    # it must beat the ~1e-14 catastrophic-cancellation noise in
-    # thetadot_sq(theta_0) = Q - (h cot - a k cos)(...), so 1e-4 r_g —
-    # still 10^3 x below any practical pixel scale.
+    # y = 0 knife edge). Regularise with a small polar impact parameter
+    # scaled to the MARCH dtype's cancellation noise: each step re-derives
+    # thetadot_sq = Q + cos^2(k^2 a^2 - h^2/sin^2) from the carried
+    # constants, with rounding noise ~ eps_work * |terms| — the floor must
+    # dominate it (factor 100 in variance) or the polar velocity becomes
+    # noise-driven and the ray can random-walk over the pole. In f64 the
+    # historical 1e-4 r_g floor dominates everywhere; in f32 with |h| ~ 30
+    # the floor is ~0.02 r_g (still far below practical pixel scales).
     k = jnp.ones_like(x)
     h = -x * jnp.sin(incl)
-    ltheta = jnp.where(y == 0, 1e-4, y)
-    Q = ltheta * ltheta - (a_trace * jnp.cos(theta)) ** 2 + (h / jnp.tan(theta)) ** 2
+    if work_eps is None:
+        work_eps = jnp.finfo(jnp.result_type(x)).eps
+    cos_t, tan_t = jnp.cos(theta), jnp.tan(theta)
+    noise = work_eps * (1.0 + (h / tan_t) ** 2 + (a_trace * cos_t) ** 2)
+    floor = jnp.maximum(1e-4, jnp.sqrt(100.0 * noise))
+    ltheta = jnp.where(jnp.abs(y) < floor, jnp.where(y < 0, -floor, floor), y)
+    Q = ltheta * ltheta - (a_trace * cos_t) ** 2 + (h / tan_t) ** 2
 
     rdot_sign = -jnp.ones_like(x)
     thetadot_sign = jnp.where(ltheta >= 0, 1.0, -1.0).astype(dtype)
     return t, r, theta, phi, (pt, pr, ptheta, pphi), (k, h, Q), rdot_sign, thetadot_sign
 
 
-def _seed_f64(grid: ImagePlaneGrid, dist, incl_deg, phi0, a_trace, xy=None):
+def _seed_f64(grid: ImagePlaneGrid, dist, incl_deg, phi0, a_trace, xy=None,
+              work_dtype=jnp.float64):
     """Run _plane_ray in true f64 on the host CPU, returning numpy arrays.
 
     The far-field image plane is precision-critical (SURVEY §7): at the
@@ -138,6 +151,7 @@ def _seed_f64(grid: ImagePlaneGrid, dist, incl_deg, phi0, a_trace, xy=None):
             jnp.asarray(float(dist), jnp.float64), incl,
             jnp.asarray(float(phi0), jnp.float64),
             jnp.asarray(float(a_trace), jnp.float64), jnp.float64,
+            work_eps=float(jnp.finfo(jax.dtypes.canonicalize_dtype(work_dtype)).eps),
         )
         return jax.tree.map(np.asarray, out), np.asarray(x), np.asarray(y)
 
@@ -170,7 +184,8 @@ def image_plane(
     """
     a_trace = -spin  # time reversal (imageplane.cpp:12)
     if _is_concrete(dist, incl_deg, spin, phi0):
-        parts, x, y = _seed_f64(grid, dist, incl_deg, phi0, a_trace)
+        parts, x, y = _seed_f64(grid, dist, incl_deg, phi0, a_trace,
+                                 work_dtype=dtype)
     else:
         incl = jnp.asarray(incl_deg, dtype=dtype) * jnp.pi / 180.0
         x, y = grid.xy(dtype)
@@ -244,7 +259,8 @@ def image_plane_bundles(
         xc, yc = Xc.reshape(-1), Yc.reshape(-1)
         xs = np.concatenate([xc + ox for ox, _ in offsets])
         ys = np.concatenate([yc + oy for _, oy in offsets])
-        parts, xs, ys = _seed_f64(grid, dist, incl_deg, phi0, a_trace, xy=(xs, ys))
+        parts, xs, ys = _seed_f64(grid, dist, incl_deg, phi0, a_trace,
+                                  xy=(xs, ys), work_dtype=dtype)
     else:
         incl = jnp.asarray(incl_deg, dtype=dtype) * jnp.pi / 180.0
         xc, yc = grid.xy(dtype)
