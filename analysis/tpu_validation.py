@@ -8,25 +8,35 @@ methodologies:
   * emissivity (point source h = 5, spin 0.998): binned observables,
     emissivity_rk45_test.cpp:57-63 gating (bins with >= 100 rays in both
     runs and counts within 10%; thresholds emissivity ±10%, redshift ±0.5%,
-    time ±5%). Measured (TPU v5e, 2026-08-18): max dev 3.6% / 0.03% / 0.12%
-    over 26 gated bins.
+    time ±5%).
   * imageplane_disc_image at the canonical far-field config (dist = 10^4,
     incl 80, 501x501 rays -> 250x250 image, RK45 tol 1e-8 —
     par_example/imageplane_disc_image.par_example): per-pixel maps at
     count >= 3 in both runs. This is the precision-critical f32 regime
     (SURVEY §7): f64-seeded starts, dtype-scaled knife-edge regularisation,
     4 radial decades of f32 marching.
+  * caustic_discplane bundle Jacobians (dist 500, incl 60, spin 0.998,
+    81x81 pixels, eps_frac 0.01, RK45): the f32 lensing-derivative regime —
+    det J from ±0.003 r_g satellite splittings marched 500 r_g in f32.
+    Judged on order-matched finite pixels (caustic_discplane.cpp:296-317
+    SENTINEL methodology) with f32-envelope thresholds.
 
 The CPU test suite pins everything to f64 CPU (tests/conftest.py); this is
 the complementary check that the production TPU path — f32 arithmetic,
 Mosaic-compiled kernel, multi-phase compaction — stays inside the same
 statistical envelope.
 
-Usage:  python -m analysis.tpu_validation        (exit 0 = PASS)
+Every run writes a versioned artifact (default VALIDATION_rXX.json, see
+--out/RT_ROUND) recording per-check deviations, thresholds and verdicts,
+so hardware regressions between rounds are visible in the repo history
+rather than only in docstrings.
+
+Usage:  python -m analysis.tpu_validation [--out FILE]   (exit 0 = PASS)
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -41,8 +51,20 @@ IMAGE_N = 250
 # config (tests/test_f32.py methodology) is r ~3e-4, enshift ~1e-4
 IMAGE_THRESHOLDS = {"r": 0.01, "enshift": 0.005, "time": 0.001, "flux": 0.05}
 
+CAUSTIC_GOLDEN = "tests/golden/caustic_discplane_a0.998_i60_rk45.bin"
+# f32 envelope at this config (dist 500, eps_frac 0.01), measured identical
+# through the TPU Mosaic kernel and the CPU f32 XLA path (2026-08-20):
+# median det J dev ~1.2%, but ~15% of order-matched pixels are garbage —
+# bundles that graze near-critical phase-space regions amplify the f32
+# landing noise chaotically (cf. the reference's own separatrix
+# methodology, SURVEY.md §4). So the hardware gate is the median plus the
+# well-measured fraction (sign correct AND magnitude within 50%), not a
+# raw sign-match rate; the f64 CPU suite (tests/test_caustics.py) pins the
+# thin-tail behaviour.
+CAUSTIC_THRESHOLDS = {"radius": 1e-3, "det_j": 0.10, "good_frac": 0.80}
 
-def check_emissivity(backend):
+
+def check_emissivity(backend, record):
     from raytrace_tpu.apps.emissivity import compute
     from raytrace_tpu.sources import PointSourceGrid
 
@@ -59,20 +81,27 @@ def check_emissivity(backend):
         & (np.abs(mine["rays"] - g["rays"]) < 0.10 * np.maximum(g["rays"], 1))
     )
     print(f"emissivity [{backend}]: {int(gated.sum())} gated bins")
+    rec = {"gated_bins": int(gated.sum()), "fields": {}}
     status = 0
     for fld, tol in THRESHOLDS.items():
         dev = np.abs(mine[fld][gated] / g[fld][gated] - 1.0)
         ok = dev.max() < tol
         status |= 0 if ok else 1
+        rec["fields"][fld] = {"max_dev": float(dev.max()),
+                              "median_dev": float(np.median(dev)),
+                              "tol": tol, "pass": bool(ok)}
         print(f"  {fld:9s} max dev {100 * dev.max():6.2f}%  (tol {100 * tol:.1f}%)"
               f"  {'PASS' if ok else 'FAIL'}")
+    rec["pass"] = status == 0
+    record["emissivity"] = rec
     return status
 
 
-def check_disc_image_far_field(backend):
+def check_disc_image_far_field(backend, record):
     if not os.path.exists(IMAGE_GOLDEN):
         print(f"disc_image d=1e4: golden {IMAGE_GOLDEN} not present — skipped")
-        return 0
+        record["disc_image_far_field"] = {"pass": False, "skipped": True}
+        return 1
     import jax.numpy as jnp
 
     from raytrace_tpu.apps.imageplane_disc_image import compute
@@ -97,23 +126,95 @@ def check_disc_image_far_field(backend):
                    img_nx=IMAGE_N, img_ny=IMAGE_N, method="rk45",
                    dtype=jnp.float32)
 
-    dn = abs(int(mine["counts"].sum()) - int(counts.sum()))
-    print(f"disc_image d=1e4 [{backend}]: rays on disc mine="
-          f"{int(mine['counts'].sum())} ref={int(counts.sum())}")
-    status = 0 if dn <= 0.02 * counts.sum() else 1
+    n_mine, n_ref = int(mine["counts"].sum()), int(counts.sum())
+    dn = abs(n_mine - n_ref)
+    print(f"disc_image d=1e4 [{backend}]: rays on disc mine={n_mine} ref={n_ref}")
+    status = 0 if dn <= 0.02 * n_ref else 1
     gated = (counts >= 3) & (mine["counts"] >= 3)
     print(f"  {int(gated.sum())} gated pixels (count >= 3 both)")
+    rec = {"rays_mine": n_mine, "rays_ref": n_ref,
+           "count_pass": status == 0, "gated_pixels": int(gated.sum()),
+           "fields": {}}
     for fld, tol in IMAGE_THRESHOLDS.items():
         dev = np.abs(mine[fld][gated] / ref[fld][gated] - 1.0)
         med = np.median(dev)
         ok = med < tol
         status |= 0 if ok else 1
+        rec["fields"][fld] = {"median_dev": float(med), "tol": tol, "pass": bool(ok)}
         print(f"  {fld:9s} median dev {100 * med:7.3f}%  (tol {100 * tol:.1f}%)"
               f"  {'PASS' if ok else 'FAIL'}")
+    rec["pass"] = status == 0
+    record["disc_image_far_field"] = rec
+    return status
+
+
+def check_caustic_jacobian(backend, record):
+    if not os.path.exists(CAUSTIC_GOLDEN):
+        print(f"caustic_discplane: golden {CAUSTIC_GOLDEN} not present — skipped")
+        record["caustic_discplane"] = {"pass": False, "skipped": True}
+        return 1
+    import jax.numpy as jnp
+
+    from raytrace_tpu.apps.caustics import SENTINEL, compute
+    from raytrace_tpu.sources import ImagePlaneGrid
+
+    raw = np.fromfile(CAUSTIC_GOLDEN, "<f8")
+    n = 81 * 81
+    names = ["det_j", "sign_j", "order", "hit", "radius", "phi",
+             "x_disc", "y_disc", "redshift"]
+    ref = {nm: raw[i * n:(i + 1) * n].reshape(81, 81) for i, nm in enumerate(names)}
+
+    grid = ImagePlaneGrid.from_steps(-12.0, 12.0, 0.3, -12.0, 12.0, 0.3)
+    maps = compute(0.998, 500.0, 60.0, grid, target="disc", r_disc=20.0,
+                   method="rk45", steplim=60000, bundle_eps_frac=0.01,
+                   dtype=jnp.float32)
+
+    hit_m = maps["hit"].astype(bool)
+    hit_r = ref["hit"] > 0.5
+    hit_agree = float((hit_m == hit_r).mean())
+    both = hit_m & hit_r
+    om = maps["order"]
+    rel_r = np.abs(maps["radius"][both] / ref["radius"][both] - 1)
+
+    dm, dr = maps["det_j"], ref["det_j"]
+    ok = (both & np.isfinite(dm) & np.isfinite(dr)
+          & (dm != SENTINEL) & (np.abs(dr) < 1e29) & (om == ref["order"]))
+    rel_d = np.abs(dm[ok] / dr[ok] - 1)
+    sign_raw = float((np.sign(dm[ok]) == np.sign(dr[ok])).mean())
+    good_frac = float(
+        ((rel_d < 0.5) & (np.sign(dm[ok]) == np.sign(dr[ok]))).mean()
+    )
+
+    med_r, med_d = float(np.median(rel_r)), float(np.median(rel_d))
+    checks = {
+        "radius": (med_r, CAUSTIC_THRESHOLDS["radius"], med_r < CAUSTIC_THRESHOLDS["radius"]),
+        "det_j": (med_d, CAUSTIC_THRESHOLDS["det_j"], med_d < CAUSTIC_THRESHOLDS["det_j"]),
+        "good_frac": (good_frac, CAUSTIC_THRESHOLDS["good_frac"],
+                      good_frac > CAUSTIC_THRESHOLDS["good_frac"]),
+    }
+    print(f"caustic_discplane [{backend}]: hit agreement {100 * hit_agree:.2f}%, "
+          f"{int(ok.sum())} order-matched Jacobian pixels")
+    status = 0 if (hit_agree > 0.98 and ok.sum() > 3000) else 1
+    rec = {"hit_agreement": hit_agree, "jacobian_pixels": int(ok.sum()),
+           "sign_match_raw": sign_raw, "fields": {}}
+    for fld, (val, tol, good) in checks.items():
+        status |= 0 if good else 1
+        rec["fields"][fld] = {"value": float(val), "tol": tol, "pass": bool(good)}
+        print(f"  {fld:10s} {val:9.5f}  (tol {tol})  {'PASS' if good else 'FAIL'}")
+    rec["pass"] = status == 0
+    record["caustic_discplane"] = rec
     return status
 
 
 def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    out_path = None
+    if "--out" in argv:
+        out_path = argv[argv.index("--out") + 1]
+    only = None
+    if "--only" in argv:
+        only = set(argv[argv.index("--only") + 1].split(","))
+
     from raytrace_tpu.config import apply_platform_overrides
 
     apply_platform_overrides()  # honours RT_PLATFORM, enables compile cache
@@ -126,8 +227,25 @@ def main(argv=None):
               "force the same checks on CPU)")
         return 0
 
-    status = check_emissivity(backend)
-    status |= check_disc_image_far_field(backend)
+    if out_path is None:
+        rnd = os.environ.get("RT_ROUND", "")
+        out_path = f"VALIDATION_r{int(rnd):02d}.json" if rnd else "VALIDATION.json"
+
+    record = {"backend": backend, "device": str(jax.devices()[0]),
+              "checks_order": ["emissivity", "disc_image_far_field",
+                               "caustic_discplane"]}
+    checks = {"emissivity": check_emissivity,
+              "disc_image_far_field": check_disc_image_far_field,
+              "caustic_discplane": check_caustic_jacobian}
+    status = 0
+    for name, fn in checks.items():
+        if only is None or name in only:
+            status |= fn(backend, record)
+    record["pass"] = status == 0
+
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"{'PASS' if status == 0 else 'FAIL'} — wrote {out_path}")
     return status
 
 
