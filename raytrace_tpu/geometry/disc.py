@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from raytrace_tpu.geometry.kerr import (
     Tetrad,
+    horizon_radius,
     isco_radius,
     keplerian_omega,
     metric_coeffs,
@@ -109,6 +110,35 @@ def plunge_disc_area(r, dr, dphi, a, r_plunge=None):
     return _parallelogram_area(r, dr, dphi, a, tet)
 
 
+def _kep_plunge_area(r, dr, dphi, a, switch_r, force_keplerian, r_plunge):
+    """Keplerian-vs-plunge area switch, AD-safe on the dead branch.
+
+    Each frame is only valid on its own side of the switch radius (the
+    plunge u^r operand goes negative outside it, the orbit Lorentz factor
+    degenerates deep inside), so the unselected branch must be evaluated at
+    a clamped radius: a dead branch whose value or gradient is non-finite
+    poisons reverse-mode AD of the selected one (0 * inf = NaN through the
+    jnp.where cotangent). Gradients of binned-emissivity area
+    normalisations w.r.t. spin depend on this (tests/test_diff.py).
+    """
+    if force_keplerian:
+        return rel_disc_area(r, dr, dphi, a)
+    in_plunge = r < switch_r
+    kep = rel_disc_area(jnp.maximum(r, switch_r), dr, dphi, a)
+    # interior point of the plunge region, strictly between horizon and ISCO
+    r_h = horizon_radius(a)
+    r_safe = 0.5 * (r_h + switch_r)
+    above_horizon = r > r_h * (1.0 + 1e-9)
+    plunge = plunge_disc_area(
+        jnp.where(in_plunge & above_horizon, r, r_safe), dr, dphi, a, r_plunge
+    )
+    area = jnp.where(in_plunge, plunge, kep)
+    # sub-horizon annuli are unphysical (delta <= 0 made them NaN -> dropped
+    # before); exclude them on the raw radius so the clamped evaluation
+    # above cannot leak a finite value into them
+    return jnp.where(above_horizon, area, 0.0)
+
+
 def integrate_disc_area_bins(
     r_lo, r_hi, a, force_keplerian=False, n_sub=50, dphi=0.1, logbin=True,
     r_plunge=None,
@@ -133,12 +163,7 @@ def integrate_disc_area_bins(
         dr = jnp.broadcast_to(dr_lin[:, None], r.shape)
 
     switch_r = r_isco if r_plunge is None else r_plunge
-    kep = rel_disc_area(r, dr, dphi, a)
-    if force_keplerian:
-        area = kep
-    else:
-        plunge = plunge_disc_area(r, dr, dphi, a, r_plunge)
-        area = jnp.where(r >= switch_r, kep, plunge)
+    area = _kep_plunge_area(r, dr, dphi, a, switch_r, force_keplerian, r_plunge)
     return jnp.sum(jnp.where(area > 0, area, 0.0), axis=1)
 
 
@@ -164,10 +189,5 @@ def integrate_disc_area(rmin, rmax, a, force_keplerian=False, n_sub=50, dphi=0.1
         dr = jnp.full_like(r, dr_lin)
 
     switch_r = r_isco if r_plunge is None else r_plunge
-    kep = rel_disc_area(r, dr, dphi, a)
-    if force_keplerian:
-        area = kep
-    else:
-        plunge = plunge_disc_area(r, dr, dphi, a, r_plunge)
-        area = jnp.where(r >= switch_r, kep, plunge)
+    area = _kep_plunge_area(r, dr, dphi, a, switch_r, force_keplerian, r_plunge)
     return jnp.sum(jnp.where(area > 0, area, 0.0))

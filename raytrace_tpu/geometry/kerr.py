@@ -16,8 +16,10 @@ Conventions (matching the reference):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -26,14 +28,42 @@ def horizon_radius(a, sign=1):
     return 1.0 + sign * jnp.sqrt((1.0 - a) * (1.0 + a))
 
 
+def _isco_z12(a):
+    z1 = 1.0 + jnp.cbrt(1.0 - a * a) * (jnp.cbrt(1.0 + a) + jnp.cbrt(1.0 - a))
+    z2 = jnp.sqrt(3.0 * a * a + z1 * z1)
+    return z1, z2
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(1,))
 def isco_radius(a, sign=1):
     """Innermost stable circular orbit radius (Bardeen, Press & Teukolsky 1972).
 
     ``sign=+1`` for prograde, ``-1`` for retrograde orbits (kerr.h:22-32).
+
+    Custom JVP: the Bardeen expression sqrt((3-Z1)(3+Z1+2Z2)) vanishes
+    quadratically at a = 0, so raw AD hits sqrt'(0) = inf there (0*inf =
+    NaN) although the radius itself is perfectly regular; the custom rule
+    is the exact chain rule with the vanishing ratio evaluated safely (the
+    derivative at exactly a = 0 is the symmetric subgradient 0 of this
+    even-in-spin parametrization — spin >= 0 by convention, orbit
+    direction carried by ``sign``).
     """
-    z1 = 1.0 + jnp.cbrt(1.0 - a * a) * (jnp.cbrt(1.0 + a) + jnp.cbrt(1.0 - a))
-    z2 = jnp.sqrt(3.0 * a * a + z1 * z1)
+    z1, z2 = _isco_z12(a)
     return 3.0 + z2 - sign * jnp.sqrt((3.0 - z1) * (3.0 + z1 + 2.0 * z2))
+
+
+@isco_radius.defjvp
+def _isco_radius_jvp(sign, primals, tangents):
+    (a,) = primals
+    (da,) = tangents
+    (z1, z2), (dz1, dz2) = jax.jvp(_isco_z12, (a,), (da,))
+    u = 3.0 - z1
+    v = 3.0 + z1 + 2.0 * z2
+    t = jnp.sqrt(u * v)
+    # (u v)' / (2 t), floored: z1 and z2 are even in a, so at a = 0 both u
+    # and the numerator vanish ~a^2 and the ratio's limit along da is 0.
+    dt = (-dz1 * v + u * (dz1 + 2.0 * dz2)) / (2.0 * jnp.maximum(t, 1e-30))
+    return 3.0 + z2 - sign * t, dz2 - sign * dt
 
 
 def keplerian_omega(r, a, sign=1):

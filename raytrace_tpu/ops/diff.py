@@ -172,6 +172,52 @@ def emissivity_observable_from_angles(spin, h_source, gamma, cosalpha, beta,
     return smooth_radial_observable(out, hit, 1.0 / g_safe**gamma, r0, sigma_ln)
 
 
+def emissivity_binned_profile(spin, h_source, gamma, grid, *, r_min=None,
+                              r_disc=500.0, n_r=100, logbin_r=True,
+                              n_steps=6144, r_max=1000.0, method="rk4",
+                              checkpoint_every=64):
+    """Differentiable twin of ``apps.emissivity.compute``'s binned output.
+
+    Same bins, same hit criterion (apps.emissivity.disc_hit_mask), same
+    per-ray emissivity weight 1/g^gamma and proper-area normalisation as
+    the app — but marched with trace_scan so the profile is differentiable
+    with respect to (spin, h_source, gamma). The hit mask and bin
+    assignment are stop-gradiented: they are piecewise constant in the
+    parameters, and their jump contributions (rays migrating between bins)
+    are exactly what the reference-FD validation methodology gates out
+    (count-gated bins / smooth radial functionals — tests/test_diff.py).
+
+    Returns (emis, counts): per-bin area-normalised emissivity [n_r] and
+    ray counts [n_r].
+    """
+    from raytrace_tpu.apps.emissivity import disc_hit_mask
+    from raytrace_tpu.geometry import integrate_disc_area_bins, isco_radius
+    from raytrace_tpu.ops.redshift import apply_redshift, redshift_start
+    from raytrace_tpu.ops.reductions import bin_edges, radial_bin_profile
+    from raytrace_tpu.sources import grid_angles, point_source_from_angles
+
+    rmin = isco_radius(spin) if r_min is None else r_min
+    disc_r, disc_width, dr = bin_edges(rmin, r_disc, n_r, logbin_r)
+    areas = integrate_disc_area_bins(disc_r, disc_r + disc_width, spin)
+
+    cosalpha, beta, dead = grid_angles(grid)
+    rays = point_source_from_angles(
+        (0.0, h_source, 1e-3, 0.0), V=0.0, spin=spin,
+        cosalpha=cosalpha, beta=beta, dead=dead,
+    )
+    rays = redshift_start(rays, spin, V=0.0)
+    out = trace_scan(rays, spin, method=method, r_max=r_max, n_steps=n_steps,
+                     checkpoint_every=checkpoint_every)
+    out = apply_redshift(out, spin, V=-1.0)
+    mask = lax.stop_gradient(disc_hit_mask(out, spin))
+    g = jnp.where(mask, out.redshift, 1.0)
+    counts, sums = radial_bin_profile(
+        lax.stop_gradient(out.r), mask, {"emis": 1.0 / g**gamma},
+        rmin, dr, n_r, logbin_r,
+    )
+    return sums["emis"] / areas, counts
+
+
 def emissivity_gradient_pipeline(spin, h_source, gamma, grid, *, n_steps=3072,
                                  r0=5.0, sigma_ln=0.3, r_max=500.0):
     """End-to-end differentiable emissivity observable E(spin, h, gamma).

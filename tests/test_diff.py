@@ -119,6 +119,121 @@ def test_rk45_single_ray_gradients_match_finite_differences():
     np.testing.assert_allclose(float(adg[1]), fdg_h, rtol=1e-3, atol=1e-10)
 
 
+GOLD_COLS = ["r", "area", "rays", "flux", "emis", "g", "t"]
+
+
+def _load_golden(tag):
+    ref = np.loadtxt(f"tests/golden/emissivity_{tag}_g0.05.dat")
+    return dict(zip(GOLD_COLS, ref.T))
+
+
+def test_spin_gradient_matches_reference_finite_differences():
+    """The BASELINE north star, literally: autodiff d(binned emissivity)/
+    d(spin) at a = 0.9 against the central finite difference of the
+    *reference binary* — (ref(a=0.91) − ref(a=0.89)) / 0.02 from the
+    perturbed-parameter goldens (bins fixed at rmin = 2.5 > ISCO(0.91) so
+    the binning is spin-independent).
+
+    Gating: a per-bin emissivity derivative is only well-defined where the
+    bin's ray membership does not change across the FD window (membership
+    jumps are the chaotic migration term the reference's own count-gated
+    methodology excludes — emissivity_rk45_test.cpp:57-63). So judge bins
+    with >= 100 rays, EXACTLY equal counts in both perturbed runs, and a
+    relative emissivity change > 0.4% over the window (below that the FD is
+    single-ray noise: one ray is ~0.8% of a 125-ray bin). Measured
+    agreement on the three qualifying bins: 0.6%, 0.7%, 5.5%."""
+    from raytrace_tpu.ops.diff import emissivity_binned_profile
+    from raytrace_tpu.sources import PointSourceGrid
+
+    A = _load_golden("a0.89_h5_rmin2.5")
+    B = _load_golden("a0.91_h5_rmin2.5")
+    grid = PointSourceGrid.from_steps(0.05, 0.05, -0.995, 0.995, -np.pi, np.pi)
+
+    fd = (B["emis"] - A["emis"]) / 0.02
+    with np.errstate(divide="ignore", invalid="ignore"):
+        signal = np.abs(B["emis"] / np.where(A["emis"] == 0, 1, A["emis"]) - 1)
+    gate = (A["rays"] >= 100) & (A["rays"] == B["rays"]) & (signal > 0.004)
+    assert gate.sum() >= 3
+
+    prof = lambda a: emissivity_binned_profile(
+        a, 5.0, 2.0, grid, r_min=2.5, n_steps=6144
+    )[0]
+    emis_mid, counts_mid = emissivity_binned_profile(
+        0.9, 5.0, 2.0, grid, r_min=2.5, n_steps=6144
+    )
+    counts_mid = np.asarray(counts_mid)
+    # my midpoint run must populate the gated bins comparably
+    assert (np.abs(counts_mid[gate] - A["rays"][gate]) <= 0.10 * A["rays"][gate]).all()
+
+    d_emis = np.asarray(jax.jacfwd(prof)(0.9))
+    rel = np.abs(d_emis[gate] / fd[gate] - 1.0)
+    assert rel.max() < 0.10, f"d(emis)/d(spin) devs vs reference FD: {rel}"
+
+
+def test_height_secant_matches_reference_finite_differences():
+    """Source-height sensitivity against the reference's perturbed goldens
+    (ref(h=5.5) − ref(h=4.5)) / 1.0 at spin 0.998.
+
+    Over a Δh = 1.0 window the bins' ray membership churns completely
+    (the lamppost's discrete emission-angle bands sweep across bins), so
+    the reference FD is a secant dominated by migration — while the
+    pointwise ensemble autodiff at fixed membership measures the
+    (different, and chaos-amplified) within-membership derivative. The
+    comparable quantity is the secant itself: the framework's differenced
+    profile over the same window must match the reference's, count-gated
+    per bin in all four runs. (Pointwise autodiff correctness is covered at
+    machine precision by the single-ray tests above, including at
+    a = 0.998.)"""
+    from raytrace_tpu.ops.diff import emissivity_binned_profile
+    from raytrace_tpu.sources import PointSourceGrid
+
+    A = _load_golden("a0.998_h4.5")
+    B = _load_golden("a0.998_h5.5")
+    grid = PointSourceGrid.from_steps(0.05, 0.05, -0.995, 0.995, -np.pi, np.pi)
+
+    e45, c45 = emissivity_binned_profile(0.998, 4.5, 2.0, grid, n_steps=6144)
+    e55, c55 = emissivity_binned_profile(0.998, 5.5, 2.0, grid, n_steps=6144)
+    e45, c45, e55, c55 = map(np.asarray, (e45, c45, e55, c55))
+
+    gate = (
+        (A["rays"] >= 100) & (B["rays"] >= 100)
+        & (np.abs(A["rays"] - B["rays"]) < 0.10 * A["rays"])
+        & (np.abs(c45 - A["rays"]) < 0.10 * A["rays"])
+        & (np.abs(c55 - B["rays"]) < 0.10 * B["rays"])
+    )
+    assert gate.sum() >= 5
+
+    fd_ref = (B["emis"] - A["emis"]) / 1.0
+    fd_mine = (e55 - e45) / 1.0
+    rel = np.abs(fd_mine[gate] / fd_ref[gate] - 1.0)
+    assert np.median(rel) < 0.15, f"height secant median dev {np.median(rel):.3f}"
+    assert rel.max() < 0.25, f"height secant devs: {rel}"
+
+
+def test_disc_area_gradient_finite():
+    """d(bin areas)/d(spin) must be finite for bins on both sides of the
+    ISCO: the Keplerian and plunge frames are each invalid on the other's
+    side, and an unguarded where() poisons reverse-mode AD with the dead
+    branch's inf/NaN gradients (geometry/disc.py::_kep_plunge_area)."""
+    from raytrace_tpu.geometry import integrate_disc_area_bins
+    from raytrace_tpu.ops.reductions import bin_edges
+
+    def total(a):
+        edges, width, _ = bin_edges(1.1, 500.0, 60, True)
+        return jnp.sum(integrate_disc_area_bins(edges, edges + width, a))
+
+    for a in (0.0, 0.1, 0.9, 0.998):
+        g = float(jax.grad(total)(a))
+        assert np.isfinite(g), f"area gradient NaN at spin {a}"
+        if a > 0:
+            # at exactly a = 0 the even-in-spin Bardeen ISCO formula has a
+            # kink; isco_radius's custom JVP returns the symmetric
+            # subgradient there (geometry/kerr.py), so FD matching is
+            # checked only at a > 0
+            v1, v2 = float(total(a - 1e-6)), float(total(a + 1e-6))
+            np.testing.assert_allclose(g, (v2 - v1) / 2e-6, rtol=1e-2)
+
+
 def test_rk45_scan_gradients_finite():
     """The adaptive path is differentiable too (per-lane dt is part of the
     smooth computation)."""
