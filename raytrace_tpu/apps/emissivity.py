@@ -30,6 +30,36 @@ from raytrace_tpu.ops.redshift import apply_redshift, range_phi, redshift_start
 from raytrace_tpu.sources import PointSourceGrid, point_source
 
 
+def disc_hit_mask(out, spin, r_isco=None):
+    """Disc-hit selection of the plain emissivity app (emissivity.cpp:99-107):
+    completed ray, close to the equatorial plane in height z, physical
+    redshift, outside the ISCO.
+
+    One definition shared by ``compute`` and the multi-chip
+    ``parallel.sharded_emissivity_bins`` / differentiable
+    ``ops.diff.emissivity_binned_profile`` paths — a change to the gating
+    here changes all of them together.
+    """
+    if r_isco is None:
+        r_isco = isco_radius(spin)
+    _, _, z = bl_to_cartesian(out.r, out.theta, out.phi, spin)
+    return out.ok & (z < 1e-2) & (out.redshift > 0) & (out.r >= r_isco)
+
+
+def emissivity_bin_weights(out, gamma, n_primary=1.0):
+    """Per-ray weights accumulated into the radial bins
+    (emissivity.cpp:108-121): photon flux 1/(N·g), emissivity 1/g^gamma for
+    a power-law source spectrum, redshift and arrival time for the per-bin
+    means. Shared with the sharded and differentiable pipelines."""
+    g = out.redshift
+    return {
+        "flux": 1.0 / (n_primary * g),
+        "emis": 1.0 / g**gamma,
+        "redshift": g,
+        "time": out.t,
+    }
+
+
 def compute(
     spin,
     source,
@@ -88,22 +118,12 @@ def compute(
         rays = trace_fn(rays, spin, method=method, r_max=r_max, steplim=steplim, ctrl=ctrl)
         rays = range_phi(rays)
         rays = apply_redshift(rays, spin, V=-1.0)
-
-        # disc-hit selection (emissivity.cpp:99-107): completed ray, close to
-        # the equatorial plane in height z, physical redshift, outside the ISCO
-        _, _, z = bl_to_cartesian(rays.r, rays.theta, rays.phi, spin)
-        g = rays.redshift
-        mask = rays.ok & (z < 1e-2) & (g > 0) & (rays.r >= r_isco)
+        mask = disc_hit_mask(rays, spin, r_isco)
 
     counts, sums = radial_bin_profile(
         rays.r,
         mask,
-        {
-            "flux": 1.0 / (n_primary * g),
-            "emis": 1.0 / g**gamma,
-            "redshift": g,
-            "time": rays.t,
-        },
+        emissivity_bin_weights(rays, gamma, n_primary),
         r_min,
         dr,
         n_r,

@@ -10,16 +10,15 @@ from raytrace_tpu.ops.integrate import (
 from raytrace_tpu.ops.reductions import radial_bin_profile, pixel_accumulate
 
 
-def trace_auto(rays, spin, **kw):
-    """Route a propagation to the fastest path for the active backend.
+def pallas_supported(method="rk45", dest=None) -> bool:
+    """Single Pallas-routing predicate, shared by ``trace_auto`` and the
+    shard-local engine selection in ``raytrace_tpu.parallel.sharding``.
 
-    On an accelerator backend, every destination the framework ships
-    (ThetaLimit / DiscWithISCO / FlatPlane / SphericalShell, with or
-    without a boundary override) runs through the Pallas kernel — the
-    whole march in VMEM, f32 — with the fused multi-phase long-tail
-    compaction; CPU and never-stopping velocity-field destinations take
-    the XLA lock-step path, f64 on CPU. Accepts the trace_compacted
-    keyword set.
+    True when the march can run through the Mosaic kernel: an accelerator
+    backend, a fixed-step or DOPRI5 method, and one of the destination
+    surfaces the kernel implements (ThetaLimit / DiscWithISCO / FlatPlane /
+    SphericalShell, with or without a boundary override). CPU and
+    never-stopping velocity-field destinations take the XLA lock-step path.
     """
     import jax
 
@@ -30,35 +29,52 @@ def trace_auto(rays, spin, **kw):
         ThetaLimit,
     )
 
-    dest = kw.get("dest")
-    pallas_ok = (
+    return (
         jax.default_backend() != "cpu"
-        and kw.get("method", "rk45") in ("euler", "rk4", "rk45")
+        and method in ("euler", "rk4", "rk45")
         and (
             dest is None
             or type(dest) in (ThetaLimit, DiscWithISCO, FlatPlane, SphericalShell)
         )
     )
-    if pallas_ok:
+
+
+def kernel_steplim(method, steplim=None) -> int:
+    """Stuck-ray cap for the Pallas kernel when the caller gave none.
+
+    The XLA-path defaults are sized for f64 CPU; the kernel caps stuck rays
+    at the measured well-behaved maxima (BASELINE.md: well-behaved RK45 rays
+    stay under ~35k steps; RK4 under ~30k for the benched workloads).
+    """
+    if steplim is None or steplim <= 0:
+        return 100_000 if method == "rk45" else 30_000
+    return steplim
+
+
+def trace_auto(rays, spin, **kw):
+    """Route a propagation to the fastest path for the active backend.
+
+    On an accelerator backend, every supported destination runs through the
+    Pallas kernel — the whole march in VMEM, f32 — with the fused
+    multi-phase long-tail compaction; otherwise the XLA lock-step path,
+    f64 on CPU. Accepts the trace_compacted keyword set.
+    """
+    method = kw.get("method", "rk45")
+    dest = kw.get("dest")
+    if pallas_supported(method, dest):
         # the fused driver runs the whole compaction schedule (wide march,
         # device-side survivor gather, narrow stuck-ray tail, full-width
         # drain) as a single dispatch — no host round trips between phases,
         # which dominate on a network-tunneled chip
         from raytrace_tpu.ops.pallas_kernel import trace_pallas_fused
 
-        method = kw.get("method", "rk45")
-        steplim = kw.get("steplim")
-        if steplim is None or steplim <= 0:
-            # the XLA-path defaults are sized for f64 CPU; the kernel caps
-            # stuck rays at the measured well-behaved maximum (BASELINE.md)
-            steplim = 100_000 if method == "rk45" else 30_000
         return trace_pallas_fused(
             rays,
             spin,
             method=method,
             dest=dest,
             r_max=kw.get("r_max", 1000.0),
-            steplim=steplim,
+            steplim=kernel_steplim(method, kw.get("steplim")),
             ctrl=kw.get("ctrl", StepControl()),
             boundary=kw.get("boundary"),
         )
@@ -67,6 +83,8 @@ def trace_auto(rays, spin, **kw):
 
 __all__ = [
     "StepControl",
+    "kernel_steplim",
+    "pallas_supported",
     "trace",
     "trace_auto",
     "trace_compacted",

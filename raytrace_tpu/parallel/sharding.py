@@ -26,45 +26,29 @@ try:  # jax >= 0.6 exposes shard_map at the top level
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
+from raytrace_tpu.ops import kernel_steplim
+from raytrace_tpu.ops import pallas_supported as _pallas_supported
 from raytrace_tpu.ops.integrate import StepControl, trace
 from raytrace_tpu.ops.reductions import radial_bin_profile
 from raytrace_tpu.ops.redshift import apply_redshift, range_phi, redshift_start
 from raytrace_tpu.rays import RayBatch
 
 
-def _pallas_supported(dest, boundary=None, method="rk45") -> bool:
-    """True when the shard-local march can run through the Pallas kernel."""
-    from raytrace_tpu.destinations import (
-        DiscWithISCO,
-        FlatPlane,
-        SphericalShell,
-        ThetaLimit,
-    )
-
-    return (
-        jax.default_backend() != "cpu"
-        and method in ("euler", "rk4", "rk45")
-        and (
-            dest is None
-            or type(dest) in (ThetaLimit, DiscWithISCO, FlatPlane, SphericalShell)
-        )
-    )
-
-
 def _shard_trace_fn(*, method, dest, r_max, steplim, ctrl, boundary=None):
     """Shard-local propagation engine: the Pallas VMEM kernel on an
     accelerator backend, the XLA lock-step loop otherwise.
 
-    This is the multi-chip twin of ops.trace_auto: without it, a sharded
-    run would regress to the XLA-loop rate per chip and forfeit the benched
-    kernel throughput (the reference's only parallel mechanism is the ray
-    loop, raytracer.cpp:104 — here each mesh device must run the same
-    fastest single-chip path on its shard).
+    This is the multi-chip twin of ops.trace_auto (same routing predicate,
+    ops.pallas_supported): without it, a sharded run would regress to the
+    XLA-loop rate per chip and forfeit the benched kernel throughput (the
+    reference's only parallel mechanism is the ray loop, raytracer.cpp:104
+    — here each mesh device must run the same fastest single-chip path on
+    its shard).
     """
-    if _pallas_supported(dest, boundary, method):
+    if _pallas_supported(method, dest):
         from raytrace_tpu.ops.pallas_kernel import trace_pallas_fused
 
-        lim = steplim if steplim else (100_000 if method == "rk45" else 30_000)
+        lim = kernel_steplim(method, steplim)
 
         def run(shard, s):
             return trace_pallas_fused(
@@ -172,9 +156,12 @@ def sharded_emissivity_bins(
     (replicated output). This is the framework's canonical multi-chip
     "training step" shape: independent shard compute + ICI all-reduce.
     The shard-local march runs through the Pallas kernel on accelerator
-    backends (same engine selection as sharded_trace)."""
+    backends (same engine selection as sharded_trace). The hit criterion
+    and bin weights are the app's own (apps.emissivity.disc_hit_mask /
+    emissivity_bin_weights) — one definition for the single-chip and
+    multi-chip paths."""
+    from raytrace_tpu.apps.emissivity import disc_hit_mask, emissivity_bin_weights
     from raytrace_tpu.geometry import isco_radius
-    from raytrace_tpu.geometry.kerr import bl_to_cartesian
 
     r_isco = isco_radius(spin)
     engine = _shard_trace_fn(
@@ -193,13 +180,11 @@ def sharded_emissivity_bins(
         out = engine(shard, s)
         out = range_phi(out)
         out = apply_redshift(out, s, V=-1.0)
-        _, _, z = bl_to_cartesian(out.r, out.theta, out.phi, s)
-        g = out.redshift
-        mask = out.ok & (z < 1e-2) & (g > 0) & (out.r >= r_isco)
+        mask = disc_hit_mask(out, s, r_isco)
         counts, sums = radial_bin_profile(
             out.r,
             mask,
-            {"flux": 1.0 / (n_primary * g), "emis": 1.0 / g**gamma, "redshift": g, "time": out.t},
+            emissivity_bin_weights(out, gamma, n_primary),
             r_min,
             dr,
             n_r,
