@@ -12,13 +12,14 @@ vs_baseline is against the driver target of >= 10M RK4 steps/s/chip
 (BASELINE.json); the reference CPU whole-box figure is ~4.5e8 steps/s
 (BASELINE.md).
 
-RT_BENCH_METHOD=rk45 benches the adaptive DOPRI5 integrator instead (the
-reference's production integrator, emissivity.cpp:91); the printed metric
-becomes rk45_steps_per_s_chip (accepted steps; the baseline divisor is the
-same 10M target). Every run also appends a record with secondary metrics
-(rays/s, step-count percentiles, wasted-lane fraction) to BENCH_NOTES.jsonl
-so a kernel regression that trades steps/s for wasted lane-iterations stays
-visible across rounds.
+Every invocation benches BOTH integrators: the primary method (RK4, or
+RT_BENCH_METHOD to override) supplies the stdout JSON line; the other
+(RK45 — the reference's production integrator, emissivity.cpp:91) is
+measured in the same process and recorded alongside it in
+BENCH_NOTES.jsonl, so the adaptive path is on the permanent per-round
+cadence without env fiddling (set RT_BENCH_SECONDARY=0 to skip). Each
+notes row carries stuck-ray counts and a stuck_ok verdict — the
+stuck-ray regression class (BENCH_NOTES 2026-08-20T01:54) stays visible.
 
 Runs on whatever backend JAX selects (the real TPU chip under the driver).
 TPU computes in f32 (f64 is demoted by XLA on TPU); source construction is
@@ -39,11 +40,12 @@ from raytrace_tpu.config import enable_compilation_cache
 enable_compilation_cache()
 
 
-def main():
+def bench_once(method):
+    """One timed propagation of the canonical workload; returns the
+    primary value (useful steps/s) and the secondary-metrics record."""
     from raytrace_tpu.ops import trace_compacted
     from raytrace_tpu.sources import PointSourceGrid, point_source
 
-    method = os.environ.get("RT_BENCH_METHOD", "rk4")
     spin = 0.998
     grid = PointSourceGrid.from_steps(0.01, 0.01)
     rays = point_source((0.0, 5.0, 1e-3, 0.0), V=0.0, spin=spin, grid=grid)
@@ -106,19 +108,8 @@ def main():
     done = live & ~stuck
 
     value = useful / wall
-    print(
-        json.dumps(
-            {
-                "metric": f"{method}_steps_per_s_chip",
-                "value": round(value),
-                "unit": "steps/s",
-                "vs_baseline": round(value / 1e7, 3),
-            }
-        )
-    )
-
-    # Secondary metrics side-channel (file, never stdout).
     pct = np.percentile(steps[done], [50, 90, 99]).tolist() if done.any() else []
+    n_stuck = int((stuck & live).sum())
     notes = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "method": method,
@@ -127,14 +118,42 @@ def main():
         "wall_s": round(wall, 4),
         "steps_per_s": round(value),
         "rays_per_s": round(live.sum() / wall),
-        "stuck_rays": int((stuck & live).sum()),
+        "stuck_rays": n_stuck,
+        "stuck_ok": n_stuck == 0,
         "steps_p50_p90_p99": [round(p) for p in pct],
     }
+    return value, notes
+
+
+def _append_notes(notes):
     try:
-        with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_NOTES.jsonl"), "a") as f:
+        path = os.path.join(os.path.dirname(__file__) or ".", "BENCH_NOTES.jsonl")
+        with open(path, "a") as f:
             f.write(json.dumps(notes) + "\n")
     except OSError:
         pass
+
+
+def main():
+    primary = os.environ.get("RT_BENCH_METHOD", "rk4")
+    value, notes = bench_once(primary)
+    print(
+        json.dumps(
+            {
+                "metric": f"{primary}_steps_per_s_chip",
+                "value": round(value),
+                "unit": "steps/s",
+                "vs_baseline": round(value / 1e7, 3),
+            }
+        )
+    )
+    _append_notes(notes)
+
+    if os.environ.get("RT_BENCH_SECONDARY", "1") != "0":
+        other = "rk45" if primary != "rk45" else "rk4"
+        _, notes2 = bench_once(other)
+        notes2["secondary"] = True
+        _append_notes(notes2)
 
 
 if __name__ == "__main__":

@@ -14,7 +14,7 @@ host-agnostic SPMD.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -34,23 +34,23 @@ from raytrace_tpu.ops.redshift import apply_redshift, range_phi, redshift_start
 from raytrace_tpu.rays import RayBatch
 
 
-def _shard_trace_fn(*, method, dest, r_max, steplim, ctrl, boundary=None):
+def _shard_engine(use_pallas, method, r_max, steplim, ctrl):
     """Shard-local propagation engine: the Pallas VMEM kernel on an
     accelerator backend, the XLA lock-step loop otherwise.
 
     This is the multi-chip twin of ops.trace_auto (same routing predicate,
-    ops.pallas_supported): without it, a sharded run would regress to the
-    XLA-loop rate per chip and forfeit the benched kernel throughput (the
-    reference's only parallel mechanism is the ray loop, raytracer.cpp:104
-    — here each mesh device must run the same fastest single-chip path on
-    its shard).
+    ops.pallas_supported, evaluated by the callers): without it, a sharded
+    run would regress to the XLA-loop rate per chip and forfeit the benched
+    kernel throughput (the reference's only parallel mechanism is the ray
+    loop, raytracer.cpp:104 — here each mesh device must run the same
+    fastest single-chip path on its shard).
     """
-    if _pallas_supported(method, dest):
+    if use_pallas:
         from raytrace_tpu.ops.pallas_kernel import trace_pallas_fused
 
         lim = kernel_steplim(method, steplim)
 
-        def run(shard, s):
+        def run(shard, s, dest, boundary):
             return trace_pallas_fused(
                 shard, s, method=method, dest=dest, r_max=r_max,
                 steplim=lim, ctrl=ctrl, boundary=boundary,
@@ -58,7 +58,7 @@ def _shard_trace_fn(*, method, dest, r_max, steplim, ctrl, boundary=None):
 
         return run
 
-    def run(shard, s):
+    def run(shard, s, dest, boundary):
         return trace(
             shard, s, method=method, dest=dest, r_max=r_max,
             steplim=steplim, ctrl=ctrl, boundary=boundary,
@@ -76,28 +76,83 @@ def make_ray_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("rays",))
 
 
+def _pad_tail(a, pad, edge: bool):
+    """Pad the trailing axis by ``pad`` rows — zeros, or the edge value
+    (for quantities that must stay in their finite domain)."""
+    widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+    return jnp.pad(a, widths, mode="edge" if edge else "constant")
+
+
 def pad_rays(rays: RayBatch, multiple: int) -> RayBatch:
     """Pad the batch with dead rays (steps = -1) to a multiple of the shard
-    count; dead rays are never traced and fall out of every reduction."""
+    count; dead rays are never traced and fall out of every reduction.
+
+    This and ``_pad_angles`` (the pre-RayBatch twin for sharded gradient
+    pipelines, where deadness is the ``dead`` mask) are the framework's two
+    padding surfaces; both route through ``_pad_tail``.
+    """
     n = rays.n_rays
     rem = n % multiple
     if rem == 0:
         return rays
     pad = multiple - rem
-
-    def pad_leaf(a):
-        widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
-        return jnp.pad(a, widths)
-
-    padded = jax.tree.map(pad_leaf, rays)
+    padded = jax.tree.map(lambda a: _pad_tail(a, pad, edge=False), rays)
     steps = padded.steps.at[n:].set(-1)
     return padded.replace(steps=steps)
+
+
+def _pad_angles(cosalpha, beta, dead, multiple: int):
+    """Pad flat emission-angle arrays to a multiple of the shard count.
+
+    Padding rows carry the edge angle values (so the constants-of-motion
+    math stays in its finite domain) and are flagged dead — the angle-array
+    equivalent of pad_rays' steps = -1 convention (rays built from them get
+    steps = -1 in point_source_from_angles and are excluded from every
+    observable)."""
+    rem = cosalpha.shape[0] % multiple
+    if rem == 0:
+        return cosalpha, beta, dead
+    pad = multiple - rem
+    return (
+        _pad_tail(cosalpha, pad, edge=True),
+        _pad_tail(beta, pad, edge=True),
+        jnp.concatenate([dead, jnp.ones((pad,), dtype=bool)]),
+    )
 
 
 def shard_rays(rays: RayBatch, mesh: Mesh) -> RayBatch:
     """Place the batch with the ray axis sharded over the mesh."""
     sharding = NamedSharding(mesh, P("rays"))
     return jax.tree.map(lambda a: jax.device_put(a, sharding), rays)
+
+
+@lru_cache(maxsize=64)
+def _sharded_trace_program(mesh, use_pallas, method, dest_treedef, r_max,
+                           steplim, ctrl, has_boundary):
+    """Build (once per configuration) the shard_map propagation program.
+
+    The program object must be cached across calls: a fresh closure per
+    invocation defeats JAX's trace/compile cache, and on a tunneled TPU a
+    re-trace of the fused Pallas schedule costs seconds per call (measured
+    ~300x the actual march, BENCH_NOTES sharded_pallas_hw). Destination
+    parameters and the boundary radius enter as traced arguments so one
+    cached program serves every parameter value of the same destination
+    type."""
+    engine = _shard_engine(use_pallas, method, r_max, steplim, ctrl)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("rays"), P(), P(), P()),
+        out_specs=P("rays"),
+        check_vma=False,
+    )
+    def run(r, s, dest_leaves, boundary):
+        dest = (jax.tree.unflatten(dest_treedef, list(dest_leaves))
+                if dest_treedef is not None else None)
+        return engine(r, s, dest, boundary if has_boundary else None)
+
+    return run
 
 
 def sharded_trace(
@@ -116,22 +171,17 @@ def sharded_trace(
     (embarrassingly parallel; zero collectives). The shard-local engine is
     the Pallas VMEM kernel on accelerator backends (full fused compaction
     schedule per shard) and the XLA lock-step loop on CPU."""
-    engine = _shard_trace_fn(
-        method=method, dest=dest, r_max=r_max, steplim=steplim, ctrl=ctrl,
-        boundary=boundary,
+    use_pallas = _pallas_supported(method, dest)
+    if dest is None:
+        leaves, treedef = (), None
+    else:
+        leaves, treedef = jax.tree.flatten(dest)
+    run = _sharded_trace_program(
+        mesh, use_pallas, method, treedef, float(r_max), steplim, ctrl,
+        boundary is not None,
     )
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P("rays"), P()),
-        out_specs=P("rays"),
-        check_vma=False,
-    )
-    def run(r, s):
-        return engine(r, s)
-
-    return run(rays, spin)
+    return run(rays, spin, tuple(leaves),
+               boundary if boundary is not None else 0.0)
 
 
 def sharded_emissivity_bins(
@@ -160,13 +210,22 @@ def sharded_emissivity_bins(
     and bin weights are the app's own (apps.emissivity.disc_hit_mask /
     emissivity_bin_weights) — one definition for the single-chip and
     multi-chip paths."""
-    from raytrace_tpu.apps.emissivity import disc_hit_mask, emissivity_bin_weights
-    from raytrace_tpu.geometry import isco_radius
-
-    r_isco = isco_radius(spin)
-    engine = _shard_trace_fn(
-        method=method, dest=None, r_max=r_max, steplim=steplim, ctrl=ctrl
+    run = _sharded_bins_program(
+        mesh, _pallas_supported(method, None), method, float(V),
+        float(r_min), float(dr), int(n_r), bool(logbin_r), float(gamma),
+        float(n_primary), float(r_max), steplim, ctrl,
     )
+    return run(rays, spin)
+
+
+@lru_cache(maxsize=64)
+def _sharded_bins_program(mesh, use_pallas, method, V, r_min, dr, n_r,
+                          logbin_r, gamma, n_primary, r_max, steplim, ctrl):
+    """Cached shard_map program for the full emissivity step (see
+    _sharded_trace_program for why caching is load-bearing)."""
+    from raytrace_tpu.apps.emissivity import disc_hit_mask, emissivity_bin_weights
+
+    engine = _shard_engine(use_pallas, method, r_max, steplim, ctrl)
 
     @partial(
         shard_map,
@@ -177,10 +236,10 @@ def sharded_emissivity_bins(
     )
     def run(shard, s):
         shard = redshift_start(shard, s, V)
-        out = engine(shard, s)
+        out = engine(shard, s, None, None)
         out = range_phi(out)
         out = apply_redshift(out, s, V=-1.0)
-        mask = disc_hit_mask(out, s, r_isco)
+        mask = disc_hit_mask(out, s)
         counts, sums = radial_bin_profile(
             out.r,
             mask,
@@ -193,7 +252,7 @@ def sharded_emissivity_bins(
         merged = jax.lax.psum((counts, sums), "rays")
         return merged
 
-    return run(rays, spin)
+    return run
 
 
 def sharded_emissivity_gradient(
@@ -221,25 +280,31 @@ def sharded_emissivity_gradient(
 
     Returns (value, (d_spin, d_h, d_gamma)), all replicated.
     """
-    from raytrace_tpu.ops.diff import emissivity_observable_from_angles
     from raytrace_tpu.sources import grid_angles
 
     n_dev = mesh.devices.size
-    cosalpha, beta, dead = grid_angles(grid)
-    rem = cosalpha.shape[0] % n_dev
-    if rem:
-        pad = n_dev - rem
-        # padding rows are dead (never traced, excluded from the observable
-        # by the steps > 0 mask); use the grid's top-edge angle values so the
-        # constants-of-motion math stays finite.
-        cosalpha = jnp.concatenate([cosalpha, jnp.full((pad,), cosalpha[-1])])
-        beta = jnp.concatenate([beta, jnp.full((pad,), beta[-1])])
-        dead = jnp.concatenate([dead, jnp.ones((pad,), dtype=bool)])
+    cosalpha, beta, dead = _pad_angles(*grid_angles(grid), n_dev)
 
     angle_sharding = NamedSharding(mesh, P("rays"))
     cosalpha, beta, dead = (
         jax.device_put(a, angle_sharding) for a in (cosalpha, beta, dead)
     )
+
+    run = _sharded_gradient_program(
+        mesh, int(n_steps), float(r0), float(sigma_ln), float(r_max)
+    )
+    ftype = jnp.result_type(float)  # f64 under x64, f32 on TPU
+    return run(
+        jnp.asarray(spin, ftype), jnp.asarray(h_source, ftype),
+        jnp.asarray(gamma, ftype), cosalpha, beta, dead,
+    )
+
+
+@lru_cache(maxsize=64)
+def _sharded_gradient_program(mesh, n_steps, r0, sigma_ln, r_max):
+    """Cached shard_map program for the sharded gradient step (see
+    _sharded_trace_program for why caching is load-bearing)."""
+    from raytrace_tpu.ops.diff import emissivity_observable_from_angles
 
     @partial(
         shard_map,
@@ -256,8 +321,4 @@ def sharded_emissivity_gradient(
         val, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(s, h, g)
         return jax.lax.psum(val, "rays"), jax.lax.psum(grads, "rays")
 
-    ftype = jnp.result_type(float)  # f64 under x64, f32 on TPU
-    return run(
-        jnp.asarray(spin, ftype), jnp.asarray(h_source, ftype),
-        jnp.asarray(gamma, ftype), cosalpha, beta, dead,
-    )
+    return run
