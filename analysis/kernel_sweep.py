@@ -1,0 +1,105 @@
+"""A/B sweep of the Pallas kernel's block/unroll knobs on the live chip.
+
+The (rows, unroll) defaults were measured for RK4 (ops/pallas_kernel.py
+header); the DOPRI5 body is ~3x larger (7 stages + controller), so its
+optimum can differ — this sweep measures the canonical bench workload for
+each combination and appends every row to BENCH_NOTES.jsonl
+(check = "kernel_sweep"). Each combination is a separate Mosaic compile
+(minutes over the remote-compile hop on a tunneled chip; cached after).
+
+Usage:
+    python -m analysis.kernel_sweep [--method rk45] [--rows 8,16,32]
+                                    [--unroll 1,2,4]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    def opt(name, default):
+        return argv[argv.index(name) + 1] if name in argv else default
+
+    method = opt("--method", "rk45")
+    rows_list = [int(r) for r in opt("--rows", "8,16,32").split(",")]
+    unroll_list = [int(u) for u in opt("--unroll", "1,2,4").split(",")]
+
+    from raytrace_tpu.config import apply_platform_overrides
+
+    apply_platform_overrides()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if jax.default_backend() == "cpu":
+        print("no accelerator backend — the kernel only runs on hardware")
+        return 0
+
+    from raytrace_tpu.ops.compaction import auto_schedule
+    from raytrace_tpu.ops.pallas_kernel import trace_pallas_fused
+    from raytrace_tpu.sources import PointSourceGrid, point_source
+
+    spin = 0.998
+    grid = PointSourceGrid.from_steps(0.01, 0.01)
+    rays = point_source((0.0, 5.0, 1e-3, 0.0), V=0.0, spin=spin, grid=grid)
+    rays = jax.tree.map(
+        lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a, rays
+    )
+    s = jnp.float32(spin)
+    steplim = 40_000 if method == "rk45" else 30_000
+    live = np.asarray(rays.steps) == 0
+
+    total = steplim + steplim // 4 + 16
+    results = []
+    for rows in rows_list:
+        for unroll in unroll_list:
+            sched = auto_schedule(rays.n_rays, total, rows=rows, unroll=unroll)
+
+            def run(sched=sched):
+                return trace_pallas_fused(
+                    rays, s, method=method, r_max=1000.0, steplim=steplim,
+                    schedule=sched,
+                )
+            t0 = time.time()
+            out = run()
+            _ = int(jnp.max(jnp.abs(out.steps)))
+            compile_s = time.time() - t0
+            t0 = time.time()
+            out = run()
+            _ = int(jnp.max(jnp.abs(out.steps)))
+            wall = time.time() - t0
+            steps = np.abs(np.asarray(out.steps)).astype(np.int64)
+            stuck = (np.asarray(out.status) & 8) != 0
+            value = steps[live & ~stuck].sum() / wall
+            row = {
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                "check": "kernel_sweep",
+                "method": method,
+                "rows": rows,
+                "unroll": unroll,
+                "steps_per_s": round(value),
+                "wall_s": round(wall, 4),
+                "compile_s": round(compile_s, 1),
+                "stuck_rays": int((stuck & live).sum()),
+            }
+            results.append(row)
+            print(json.dumps(row))
+            try:
+                with open("BENCH_NOTES.jsonl", "a") as f:
+                    f.write(json.dumps(row) + "\n")
+            except OSError:
+                pass
+
+    best = max(results, key=lambda r: r["steps_per_s"])
+    print(f"best: rows={best['rows']} unroll={best['unroll']} "
+          f"{best['steps_per_s'] / 1e6:.0f}M steps/s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

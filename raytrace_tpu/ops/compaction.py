@@ -29,8 +29,14 @@ _BN16 = 16 * 128
 _BN8 = 8 * 128
 
 
-def auto_schedule(n: int, total: int, open_iters: int = 512):
+def auto_schedule(n: int, total: int, open_iters: int = 512, rows: int = 16,
+                  unroll: int = 2):
     """Static compaction schedule: (iters, width, rows, unroll) per phase.
+
+    ``rows``/``unroll`` set the block height and body unrolling of the
+    main (wide) phases — defaults are the RK4-measured optimum; the
+    stuck-ray tail phase stays on short (8,128) blocks regardless
+    (analysis/kernel_sweep.py re-measures these on hardware).
 
     Tuned against the measured per-ray step distribution of the canonical
     disc workloads (sharply bimodal: every ray needs a few hundred steps,
@@ -45,9 +51,9 @@ def auto_schedule(n: int, total: int, open_iters: int = 512):
     w2 = -(-int(0.45 * n) // _BN16) * _BN16
     w3 = -(-max(2 * _BN8, n // 24) // _BN8) * _BN8
     if w2 >= full or n <= 4 * _BN16:
-        return ((total, None, 16, 2),)
-    sched = [(open_iters, None, 16, 2), (320, w2, 16, 2)]
-    sched.append((total, w3, 8, 4) if w3 < w2 else (total, w2, 16, 2))
+        return ((total, None, rows, unroll),)
+    sched = [(open_iters, None, rows, unroll), (320, w2, rows, unroll)]
+    sched.append((total, w3, 8, 4) if w3 < w2 else (total, w2, rows, unroll))
     return tuple(sched)
 
 

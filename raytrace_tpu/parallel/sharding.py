@@ -152,7 +152,10 @@ def _sharded_trace_program(mesh, use_pallas, method, dest_treedef, r_max,
                 if dest_treedef is not None else None)
         return engine(r, s, dest, boundary if has_boundary else None)
 
-    return run
+    # jit the shard_map program: called bare it dispatches its body
+    # eagerly (one tunnel round trip per op on a remote chip); jitted it
+    # is a single device program per call.
+    return jax.jit(run)
 
 
 def sharded_trace(
@@ -252,7 +255,7 @@ def _sharded_bins_program(mesh, use_pallas, method, V, r_min, dr, n_r,
         merged = jax.lax.psum((counts, sums), "rays")
         return merged
 
-    return run
+    return jax.jit(run)
 
 
 def sharded_emissivity_gradient(
@@ -321,4 +324,4 @@ def _sharded_gradient_program(mesh, n_steps, r0, sigma_ln, r_max):
         val, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(s, h, g)
         return jax.lax.psum(val, "rays"), jax.lax.psum(grads, "rays")
 
-    return run
+    return jax.jit(run)
