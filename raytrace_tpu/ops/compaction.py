@@ -29,8 +29,8 @@ _BN16 = 16 * 128
 _BN8 = 8 * 128
 
 
-def auto_schedule(n: int, total: int, open_iters: int = 512, rows: int = 16,
-                  unroll: int = 2):
+def auto_schedule(n: int, total: int, open_iters: int = 512, rows: int = 32,
+                  unroll: int = 4):
     """Static compaction schedule: (iters, width, rows, unroll) per phase.
 
     ``rows``/``unroll`` set the block height and body unrolling of the

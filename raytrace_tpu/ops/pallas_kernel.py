@@ -48,17 +48,20 @@ from raytrace_tpu.rays import RAY_STATUS_NUMERIC, RAY_STATUS_STEPLIM, RayBatch
 # Block shape: rows of the f32 (8,128) tile marched together. 8 rows = one
 # vreg per op (finest early-retirement granularity); larger blocks amortise
 # instruction issue over several vregs at the cost of coarser retirement.
-# Hardware A/B on the canonical workload (v5e): 8 rows 252-272M steps/s,
-# 16 rows 320M, 32 rows 259-300M, 64 rows 274M -> default 16. Tunable via
-# RT_PALLAS_ROWS.
+# Hardware A/B on the canonical workload (v5e, 2026-08-21 re-sweep with the
+# fused compaction schedule, analysis/kernel_sweep.py): RK4 16 rows 596M /
+# 32 rows 713-720M / 64 rows 710-717M steps/s; RK45 16 rows 326-352M / 32
+# rows 358-392M / 64 rows 358-378M -> default 32 (earlier per-call-dispatch
+# measurements favoured 16). Tunable via RT_PALLAS_ROWS.
 import os as _os
 
-_ROWS = int(_os.environ.get("RT_PALLAS_ROWS", "16"))
+_ROWS = int(_os.environ.get("RT_PALLAS_ROWS", "32"))
 _BLOCK = (_ROWS, 128)
 _BLOCK_N = _BLOCK[0] * _BLOCK[1]
 # Body sub-steps per while iteration (fewer cond reductions): measured on
-# v5e at 16 rows — 1: 285M, 2: 346M, 4: 324M steps/s -> default 2.
-_UNROLL = int(_os.environ.get("RT_PALLAS_UNROLL", "2"))
+# v5e at 32 rows — RK4 unroll 2: 713M, 4: 720M; RK45 unroll 1: 381M,
+# 2: 358M, 4: 392M steps/s -> default 4.
+_UNROLL = int(_os.environ.get("RT_PALLAS_UNROLL", "4"))
 
 # RayBatch fields marched by the kernel, in a fixed order. Sign/gate/bool
 # fields travel as f32/int32 to keep every ref a (8,128) tile.
