@@ -324,4 +324,13 @@ def _sharded_gradient_program(mesh, n_steps, r0, sigma_ln, r_max):
         val, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(s, h, g)
         return jax.lax.psum(val, "rays"), jax.lax.psum(grads, "rays")
 
-    return jax.jit(run)
+    # Deliberately NOT jax.jit-wrapped (unlike the forward-only programs
+    # above): with check_vma=False, jit's partial-eval of a shard_map that
+    # differentiates THROUGH a psum loses the replication bookkeeping the
+    # psum transpose needs, and silently shifts the value/gradients by tens
+    # of percent (measured jax 0.9: value 60.59 bare vs 79.07 jitted on the
+    # 8-device test config; tests/test_parallel.py pins the bare == 1-device
+    # parity). check_vma=True would reject the body (scan-carry vma typing)
+    # — until that is reworked, the bare shard_map is the correct program;
+    # the lru_cache above still avoids per-call re-tracing.
+    return run
