@@ -13,6 +13,12 @@ import os
 
 # For any subprocesses the tests may spawn.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Keep the persistent compilation cache OUT of the suite: app mains invoked
+# in-process would otherwise enable it, and the shared /tmp cache can hold
+# XLA:CPU executables compiled for another machine's CPU features (the
+# remote-TPU compile service populates the same directory), which XLA loads
+# with a SIGILL warning. Hermetic tests recompile.
+os.environ["RT_COMPCACHE"] = "0"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
