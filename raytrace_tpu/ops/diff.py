@@ -25,6 +25,18 @@ Differentiation notes:
     simply keep integrating (their contribution to terminal-masked
     observables is zero but their gradient work is wasted), so pick
     n_steps around the p99 of the workload's step distribution.
+  * Which parameters are *usefully* differentiable is physics, not
+    implementation: gamma enters through a smooth analytic weight (exact
+    gradients); source height/position move individual landing points
+    smoothly (validated against the reference binary's finite differences,
+    tests/test_diff.py); but the SPIN response of inner-disc observables
+    at high spin is dominated by discrete membership changes — rays
+    crossing the capture/escape boundary — whose boundary members are
+    exactly the chaotic set. Stop-gradded masks cannot carry that term,
+    and the rays that do are Lyapunov-amplified, so ensemble spin
+    gradients serve sensitivity analysis on membership-stable observables
+    (the FD-validated regime), not black-box descent through capture
+    transitions.
 """
 
 from __future__ import annotations
