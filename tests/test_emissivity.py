@@ -153,3 +153,40 @@ def test_rd_variant_matches_reference_binary():
     for fld, tol in (("emis", 0.10), ("redshift", 0.005), ("time", 0.05)):
         dev = np.abs(mine[fld][gated] / g[fld][gated] - 1.0)
         assert dev.max() < tol, f"{fld}: max dev {dev.max():.4f}"
+
+
+GOLDEN_MIDSPIN = "tests/golden/emissivity_a0.5_h3_g0.05.dat"
+
+
+def test_midspin_low_source_matches_reference_binary():
+    """Second point in parameter space: spin 0.5 (ISCO at 4.233) with the
+    lamppost BELOW the ISCO at h = 3 — most rays are captured, the disc
+    illumination comes from strongly bent escapers, and the plunge-region
+    area integral and mid-spin metric terms are all off the a=0.998 path
+    the other goldens exercise. Same reference binary, same count-gated
+    methodology."""
+    ref = np.loadtxt(GOLDEN_MIDSPIN)
+    g = dict(zip(["r", "area", "rays", "flux", "emis", "redshift", "time"], ref.T))
+    grd = PointSourceGrid.from_steps(0.05, 0.05, -0.995, 0.995, -np.pi, np.pi)
+    mine = compute(0.5, (0.0, 3.0, 1e-3, 1.5707), V=0.0, grid=grd,
+                   r_max=1000.0, r_disc=500.0, n_r=100, logbin_r=True,
+                   gamma=2.0, steplim=20000, method="rk45")
+    np.testing.assert_allclose(mine["r"], g["r"], rtol=1e-6)
+    # The reference's integrate_disc_area marches sub-annuli with an
+    # iterated product (`for(r=rmin; r<rmax; r*=dr)`, disc.h:133); at
+    # fp-unlucky spins the accumulated rounding lets a 50th sub-annulus
+    # through, overestimating every bin area by ~1/49 (~2%) — it does at
+    # a=0.5, not at the 0.9/0.998 goldens (probe: areatest vs
+    # integrate_disc_area_bins, 2026-08-21). Normalised here (SURVEY §7),
+    # so area parity at this spin is the systematic 2%:
+    rel_area = np.abs(mine["area"] / g["area"] - 1.0)
+    assert rel_area.max() < 0.025
+    assert rel_area.min() > 0.015  # the quirk is systematic, not noise
+    gated = (
+        (g["rays"] >= 100) & (mine["rays"] >= 100)
+        & (np.abs(mine["rays"] - g["rays"]) < 0.10 * np.maximum(g["rays"], 1))
+    )
+    assert gated.sum() >= 6
+    for fld, tol in (("emis", 0.10), ("redshift", 0.005), ("time", 0.05)):
+        dev = np.abs(mine[fld][gated] / g[fld][gated] - 1.0)
+        assert dev.max() < tol, f"{fld}: max dev {dev.max():.4f}"
