@@ -89,9 +89,12 @@ def trace_scan(
     horizon = horizon_radius(spin) if boundary is None else boundary
     steplim = n_steps + 1  # per-ray STEPLIM can't trigger within the budget
 
+    # gate resets consume the incoming leaves (x & False / x | True) rather
+    # than allocating fresh constants, so the scan carry keeps the batch's
+    # device-variance under shard_map vma checking
     rays = rays.replace(
-        r_was_positive=jnp.zeros_like(rays.r_was_positive),
-        theta_was_positive=jnp.ones_like(rays.theta_was_positive),
+        r_was_positive=rays.r_was_positive & False,
+        theta_was_positive=rays.theta_was_positive | True,
     )
     if method == "rk45":
         rays = rays.replace(dt=_seed_rk45_step(rays, spin, horizon, ctrl))

@@ -325,12 +325,16 @@ def _sharded_gradient_program(mesh, n_steps, r0, sigma_ln, r_max):
         return jax.lax.psum(val, "rays"), jax.lax.psum(grads, "rays")
 
     # Deliberately NOT jax.jit-wrapped (unlike the forward-only programs
-    # above): with check_vma=False, jit's partial-eval of a shard_map that
-    # differentiates THROUGH a psum loses the replication bookkeeping the
-    # psum transpose needs, and silently shifts the value/gradients by tens
-    # of percent (measured jax 0.9: value 60.59 bare vs 79.07 jitted on the
-    # 8-device test config; tests/test_parallel.py pins the bare == 1-device
-    # parity). check_vma=True would reject the body (scan-carry vma typing)
-    # — until that is reworked, the bare shard_map is the correct program;
-    # the lru_cache above still avoids per-call re-tracing.
+    # above). Called bare, each shard executes the inner-jitted march
+    # (trace_scan) as the SAME compiled program the single-device pipeline
+    # runs, so sharded == unsharded to fp exactness (tests/test_parallel.py
+    # pins this). An outer jit inlines the march into one big program whose
+    # different fusion/rounding lets near-threshold chaotic rays land
+    # differently — the smooth observable then shifts at the percent level,
+    # run-to-run nondeterministically (measured jax 0.9: 60.59 bare/
+    # single-device vs 67.3-79.1 across jitted runs on the 8-device test
+    # config), and the gradient moves with it. The forward-only programs
+    # are immune because their per-ray outputs are compared through the
+    # kernel path, which is a single opaque Mosaic call either way. The
+    # lru_cache above still avoids per-call re-tracing.
     return run

@@ -87,24 +87,42 @@ def point_source_from_angles(
 
     t0, r0, th0, ph0 = (jnp.asarray(p, dtype=dtype) for p in pos)
     n = cosalpha.shape[0]
-    full = lambda v: jnp.full((n,), v, dtype=dtype)
+    # every per-ray leaf is derived from the caller's angle arrays rather
+    # than from fresh jnp.zeros/full constants, so under shard_map the whole
+    # batch inherits their device-variance (vma) — fresh constants are
+    # mesh-invariant and break check_vma typing of the march's scan carry
+    zero = cosalpha * jnp.asarray(0.0, dtype)
+    izero = zero.astype(jnp.int32)
+    full = lambda v: zero + v
 
-    r = full(1.0) * r0
-    theta = full(1.0) * th0
+    r = full(r0)
+    theta = full(th0)
     c = constants_from_angles(r, theta, alpha, beta, jnp.asarray(V, dtype=dtype), spin, E)
 
     base = blank_batch(n, dtype)
     return base.replace(
-        t=full(1.0) * t0,
+        t=full(t0),
         r=r,
         theta=theta,
-        phi=full(1.0) * ph0,
+        phi=full(ph0),
+        pt=zero,
+        pr=zero,
+        ptheta=zero,
+        pphi=zero,
         k=c.k,
         h=c.h,
         Q=c.Q,
         rdot_sign=c.rdot_sign,
         thetadot_sign=c.thetadot_sign,
-        steps=jnp.where(dead, -1, 0).astype(jnp.int32),
+        r_was_positive=zero > 1.0,
+        theta_was_positive=zero < 1.0,
+        dt=zero,
+        steps=jnp.where(dead, izero - 1, izero),
+        status=izero,
+        rdot_flips=izero,
+        equatorial_crossings=izero,
+        emit=full(1.0),
+        redshift=full(1.0),
         alpha=cosalpha,  # reference stores cos(alpha) in .alpha (pointsource.cpp:48)
         beta=beta,
     )
