@@ -1,0 +1,165 @@
+"""Lifetime-sorted blocking study (VERDICT r3 task 2).
+
+Hypothesis: ordering rays by predicted step count before (rows, 128)
+blocking lets blocks retire together instead of idling on their slowest
+lane, recovering part of the measured ~40-45% VPU-roofline residual
+(analysis/vpu_roofline.py).
+
+Two measurements:
+
+1. ``simulate`` — offline, exact: marches the canonical 125k-ray workload
+   once (CPU f64) to get true per-ray step counts, then computes the
+   fused-schedule iteration cost (per-lane iterations, the quantity the
+   kernel actually spends) under candidate orderings:
+     * natural  — the emission-angle grid order we ship
+     * shuffled — worst case
+     * score    — signed separatrix score (pre-march analytic predictor)
+     * pilot64  — 64-iteration pilot march survivor split (the other
+                  pre-march-ish predictor the judge proposed)
+     * oracle   — sorted by true step count (unachievable upper bound)
+
+2. ``hardware_ab`` — one real A/B on the TPU: trace_pallas_fused on the
+   natural vs score-sorted batch (device-side argsort + gather + inverse
+   scatter inside the timed region), canonical bench methodology.
+
+Result (2026-08-21, v5e, RK4 steplim 30k, 125,171 rays, steps p50/99/max =
+379/774/782): total-iteration overhead of the fused schedule is only
+1.17x useful steps in natural order; the ORACLE bound is 1.07x, and every
+realizable predictor lands exactly on natural order (the angle grid's
+continuity already clusters lifetimes; Spearman(steps, |score|) ~ 0).
+Lifetime sorting therefore cannot buy more than ~9% even with perfect
+prediction — the roofline residual is per-iteration efficiency (Mosaic
+loop overhead, issue amortisation), NOT retirement granularity. Negative
+result recorded in BENCH_NOTES; the hardware A/B confirms within noise.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _canonical_steps():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from raytrace_tpu.ops import trace_compacted
+    from raytrace_tpu.ops.diff import separatrix_score
+    from raytrace_tpu.sources import PointSourceGrid, point_source
+
+    spin = 0.998
+    grid = PointSourceGrid.from_steps(0.01, 0.01)
+    rays = point_source((0.0, 5.0, 1e-3, 0.0), V=0.0, spin=spin, grid=grid)
+    out = trace_compacted(rays, spin, method="rk4", r_max=1000.0, steplim=30000)
+    live = np.asarray(rays.steps) == 0
+    steps = np.abs(np.asarray(out.steps)).astype(np.int64)[live]
+    score = np.asarray(separatrix_score(rays.k, rays.h, rays.Q, spin))[live]
+    return steps, score
+
+
+def schedule_cost(steps, order, rows=32, unroll=4, open_iters=512):
+    """Per-lane iteration cost of the fused schedule under an ordering:
+    a full-width opening phase in (rows, 128) blocks, then the surviving
+    lanes (order preserved by the compaction gather) to completion in
+    (8, 128) tail blocks — mirrors ops/compaction.py::auto_schedule."""
+    n = steps.size
+    blk = rows * 128
+    s = steps[order]
+    sp = np.concatenate([s, np.zeros((-n) % blk, np.int64)])
+    b = sp.reshape(-1, blk)
+    it1 = np.ceil(np.minimum(b.max(axis=1), open_iters) / unroll) * unroll
+    cost = (it1 * blk).sum()
+    surv = s[s > open_iters] - open_iters
+    blk2 = 8 * 128
+    if surv.size:
+        sp2 = np.concatenate([surv, np.zeros((-surv.size) % blk2, np.int64)])
+        b2 = sp2.reshape(-1, blk2)
+        cost += ((np.ceil(b2.max(axis=1) / 4) * 4) * blk2).sum()
+    return cost
+
+
+def simulate():
+    steps, score = _canonical_steps()
+    n = steps.size
+    useful = steps.sum()
+    rng = np.random.default_rng(0)
+    orders = {
+        "natural": np.arange(n),
+        "shuffled": rng.permutation(n),
+        "score_signed": np.argsort(score),
+        "score_abs": np.argsort(np.abs(score)),
+        "pilot64": np.lexsort((np.arange(n), (steps > 64).astype(int))),
+        "oracle": np.argsort(steps),
+    }
+    rows = {}
+    for name, o in orders.items():
+        c = schedule_cost(steps, o)
+        rows[name] = round(c / useful, 4)
+        print(f"{name:>13}: schedule cost / useful steps = {c / useful:.4f}")
+    return rows
+
+
+def hardware_ab(method="rk4", steplim=30000):
+    import jax
+    import jax.numpy as jnp
+
+    from raytrace_tpu.config import enable_compilation_cache
+    from raytrace_tpu.ops.diff import separatrix_score
+    from raytrace_tpu.ops.pallas_kernel import trace_pallas_fused
+    from raytrace_tpu.sources import PointSourceGrid, point_source
+
+    enable_compilation_cache()
+    spin = 0.998
+    grid = PointSourceGrid.from_steps(0.01, 0.01)
+    rays = point_source((0.0, 5.0, 1e-3, 0.0), V=0.0, spin=spin, grid=grid)
+    rays = jax.tree.map(
+        lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a, rays
+    )
+    s = jnp.float32(spin)
+
+    key = jnp.argsort(separatrix_score(rays.k, rays.h, rays.Q, s))
+
+    @jax.jit
+    def run_sorted(r, k):
+        sorted_rays = jax.tree.map(lambda a: jnp.take(a, k, axis=0), r)
+        out = trace_pallas_fused(sorted_rays, s, method=method, r_max=1000.0,
+                                 steplim=steplim)
+        inv = jnp.argsort(k)
+        return jax.tree.map(lambda a: jnp.take(a, inv, axis=0), out)
+
+    def run_natural(r):
+        return trace_pallas_fused(r, s, method=method, r_max=1000.0,
+                                  steplim=steplim)
+
+    def timed(fn, *a):
+        out = fn(*a)
+        int(jnp.max(jnp.abs(out.steps)))  # completion barrier (see bench.py)
+        t0 = time.time()
+        out = fn(*a)
+        int(jnp.max(jnp.abs(out.steps)))
+        return time.time() - t0, out
+
+    w_nat, out_n = timed(run_natural, rays)
+    w_srt, out_s = timed(run_sorted, rays, key)
+    assert np.array_equal(np.asarray(out_n.steps), np.asarray(out_s.steps))
+    useful = np.abs(np.asarray(out_n.steps)).sum()
+    res = {
+        "wall_natural_s": round(w_nat, 4),
+        "wall_sorted_s": round(w_srt, 4),
+        "steps_per_s_natural": round(useful / w_nat),
+        "steps_per_s_sorted": round(useful / w_srt),
+        "sorted_over_natural": round(w_nat / w_srt, 4),
+    }
+    print(json.dumps(res))
+    return res
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--hw" in sys.argv:
+        hardware_ab()
+    else:
+        simulate()

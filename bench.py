@@ -122,6 +122,28 @@ def bench_once(method):
         "stuck_ok": n_stuck == 0,
         "steps_p50_p90_p99": [round(p) for p in pct],
     }
+
+    if method == "rk45" and os.environ.get("RT_BENCH_REJECTS", "1") != "0":
+        # Reject-trial accounting (integrator_perf_test.cpp:119-169
+        # analogue): decomposes the RK4<->RK45 throughput ratio into
+        # stage-count vs controller-rejection waste. Measured on the 0.05
+        # sub-grid (the reference perf-test density) — the fraction is a
+        # controller property, not a batch-size one.
+        try:
+            from analysis.rk45_rejects import rk45_reject_stats
+            from raytrace_tpu.sources import PointSourceGrid, point_source
+
+            sub = point_source(
+                (0.0, 5.0, 1e-3, 0.0), V=0.0, spin=spin,
+                grid=PointSourceGrid.from_steps(0.05, 0.05),
+            )
+            sub = jax.tree.map(
+                lambda a: a.astype(dtype) if a.dtype == jnp.float64 else a, sub
+            )
+            notes["rejects"] = rk45_reject_stats(sub, s, n_steps=8192)
+        except Exception as exc:  # never break the bench contract
+            notes["rejects_error"] = repr(exc)
+
     return value, notes
 
 

@@ -216,6 +216,7 @@ def compute(
     ctrl=StepControl(),
     trace_fn=trace_auto,
     dtype=jnp.float64,
+    mesh=None,
 ):
     """Trace the camera (bundles or plain grid) and build the caustic maps.
 
@@ -224,7 +225,10 @@ def compute(
 
     ``dtype`` is the working precision of the whole traced pipeline
     (sources, destination parameters, march); pass jnp.float32 to run the
-    explicit-f32 path the TPU executes.
+    explicit-f32 path the TPU executes. With a ``mesh`` the bundle march
+    runs data-parallel over the mesh's ``rays`` axis
+    (parallel.sharded_caustic_trace); the Jacobian post-processing below
+    stays host-side either way.
     """
     import jax
 
@@ -262,8 +266,15 @@ def compute(
         eps = None
 
     rays = redshift_start(rays, a_trace, V=0.0, reverse=True)
-    out = trace_fn(rays, a_trace, method=method, dest=dest, r_max=r_max,
-                   steplim=steplim, ctrl=ctrl)
+    if mesh is not None:
+        from raytrace_tpu.parallel import sharded_caustic_trace
+
+        out = sharded_caustic_trace(rays, a_trace, mesh, dest=dest,
+                                    r_max=r_max, method=method,
+                                    steplim=steplim, ctrl=ctrl)
+    else:
+        out = trace_fn(rays, a_trace, method=method, dest=dest, r_max=r_max,
+                       steplim=steplim, ctrl=ctrl)
     if target == "disc":
         out = apply_redshift_dest(out, a_trace, dest, reverse=True)
 
@@ -422,13 +433,21 @@ def _main(target):
         print(f"caustic_{target}: spin={spin} incl={incl} {grid.nx}x{grid.ny} "
               f"pixels, bundles={use_bundles}")
 
-        maps = compute(
-            spin, dist, incl, grid, target=target,
-            r_disc=r_disc, z_s=z_s, r_lim=r_lim, phi0=np.deg2rad(phi0),
-            use_bundles=use_bundles, bundle_eps_frac=eps_frac,
-            method=method, steplim=None if steplim <= 0 else steplim,
-            ctrl=StepControl(rk45_tol=rk45_tol),
-        )
+        from raytrace_tpu.parallel import auto_mesh
+        from raytrace_tpu.utils.progress import app_phase
+
+        mesh = auto_mesh()
+        if mesh is not None:
+            print(f"sharding rays over {mesh.devices.size} devices")
+        with app_phase(f"caustic {target} march+jacobians"):
+            maps = compute(
+                spin, dist, incl, grid, target=target,
+                r_disc=r_disc, z_s=z_s, r_lim=r_lim, phi0=np.deg2rad(phi0),
+                use_bundles=use_bundles, bundle_eps_frac=eps_frac,
+                method=method, steplim=None if steplim <= 0 else steplim,
+                ctrl=StepControl(rk45_tol=rk45_tol),
+                mesh=mesh,
+            )
         d = maps["diag"]
         print(f"{d['hits']} hits; horizon={d['horizon']} rlim={d['rlim']} "
               f"steplim={d['steplim']}; {maps['n_suppressed']} pixels suppressed")

@@ -181,22 +181,25 @@ def _run_main(argv, variant):
     theta_lim = cfg.get("theta_lim", float, np.pi / 2)
 
     print(f"emissivity[{variant}]: spin={spin} source={source} {grid.n_rays} rays")
-    out = compute(
-        spin,
-        source,
-        V,
-        grid,
-        r_max=r_max,
-        r_min=None if r_min < 0 else r_min,
-        r_disc=r_disc,
-        n_r=n_r,
-        logbin_r=logbin_r,
-        gamma=gamma,
-        method=method,
-        steplim=None if steplim <= 0 else steplim,
-        variant=variant,
-        theta_lim=theta_lim,
-    )
+    from raytrace_tpu.utils.progress import app_phase
+
+    with app_phase(f"emissivity {variant} march+bin"):
+        out = compute(
+            spin,
+            source,
+            V,
+            grid,
+            r_max=r_max,
+            r_min=None if r_min < 0 else r_min,
+            r_disc=r_disc,
+            n_r=n_r,
+            logbin_r=logbin_r,
+            gamma=gamma,
+            method=method,
+            steplim=None if steplim <= 0 else steplim,
+            variant=variant,
+            theta_lim=theta_lim,
+        )
 
     with TextOutput(outfile) as f:
         f.write_columns(

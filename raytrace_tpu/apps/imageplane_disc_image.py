@@ -51,65 +51,36 @@ def powerlaw3(r, q1, rb1, q2, rb2, q3):
     return jnp.where(r < rb1, inner, jnp.where(r < rb2, middle, outer))
 
 
-def compute(
+def accumulate_image_maps(
+    out,
     spin,
-    dist,
-    incl_deg,
     grid: ImagePlaneGrid,
     r_disc,
-    img_nx=None,
-    img_ny=None,
+    img_nx,
+    img_ny,
+    *,
+    variant="plain",
+    dest=None,
+    theta_lim=jnp.pi / 2,
+    r_isco=None,
     q1=3.0,
     rb1=4.0,
     q2=3.0,
     rb2=10.0,
     q3=3.0,
-    phi0=0.0,
-    variant="plain",  # "plain" | "rd" | "isco"
-    theta_lim=jnp.pi / 2,
-    method="rk45",
     flip_image=True,
-    steplim=None,
-    ctrl=StepControl(),
-    trace_fn=trace_auto,
-    dtype=jnp.float64,
 ):
-    """Trace the camera grid and accumulate the per-pixel disc maps.
+    """Post-march image accumulation: redshift -> hit mask -> per-pixel maps.
 
-    Returns dict of (img_nx, img_ny) arrays: counts, flux, r, phi, enshift,
-    time, emis — count-normalised like the reference
-    (imageplane_disc_image.cpp:166-176).
-
-    ``dtype`` is the working precision of the traced pipeline; pass
-    jnp.float32 to run the explicit-f32 path the TPU executes.
+    Pure traced function of the marched batch, shared by the single-device
+    ``compute`` and the multi-chip ``parallel.sharded_disc_image`` (one
+    definition of the hit criterion and pixel binning for both paths —
+    imageplane_disc_image.cpp:118-176). Returns (counts, images dict),
+    un-normalised (callers divide by counts).
     """
-    img_nx = img_nx or grid.nx
-    img_ny = img_ny or grid.ny
-    a_trace = -spin  # propagation uses the negated spin (imageplane.cpp:12)
-    r_isco = isco_radius(spin)
-
-    if variant == "isco" and method == "euler":
-        raise ValueError("Euler integrator not supported for the ISCO variant "
-                         "(imageplane_disc_image_isco.cpp:76-80)")
-
-    rays = image_plane(dist, incl_deg, grid, spin, phi0, dtype=dtype)
-    rays = redshift_start(rays, a_trace, V=0.0, reverse=True)
-
-    if variant == "plain":
-        dest = ThetaLimit(jnp.pi / 2)
-    elif variant == "rd":
-        dest = FlatDisc(theta_lim)
-    elif variant == "isco":
-        dest = DiscWithISCO(r_isco=r_isco, r_out=r_disc)
-    else:
-        raise ValueError(f"unknown variant {variant!r}")
-    # destination params share the working dtype (no silent f64 promotion)
-    dest = jax.tree.map(lambda v: jnp.asarray(v, dtype), dest)
-
-    out = trace_fn(
-        rays, a_trace, method=method, dest=dest, r_max=1.1 * dist,
-        steplim=steplim, ctrl=ctrl,
-    )
+    a_trace = -spin
+    if r_isco is None:
+        r_isco = isco_radius(spin)
 
     if variant == "rd":
         out = apply_redshift_dest(out, a_trace, dest, reverse=True)
@@ -145,7 +116,7 @@ def compute(
         iy = img_ny - iy - 1
 
     emis = powerlaw3(out.r, q1, rb1, q2, rb2, q3)
-    counts, images = pixel_accumulate(
+    return pixel_accumulate(
         ix,
         iy,
         hit,
@@ -160,6 +131,88 @@ def compute(
         img_nx,
         img_ny,
     )
+
+
+def compute(
+    spin,
+    dist,
+    incl_deg,
+    grid: ImagePlaneGrid,
+    r_disc,
+    img_nx=None,
+    img_ny=None,
+    q1=3.0,
+    rb1=4.0,
+    q2=3.0,
+    rb2=10.0,
+    q3=3.0,
+    phi0=0.0,
+    variant="plain",  # "plain" | "rd" | "isco"
+    theta_lim=jnp.pi / 2,
+    method="rk45",
+    flip_image=True,
+    steplim=None,
+    ctrl=StepControl(),
+    trace_fn=trace_auto,
+    dtype=jnp.float64,
+    mesh=None,
+):
+    """Trace the camera grid and accumulate the per-pixel disc maps.
+
+    Returns dict of (img_nx, img_ny) arrays: counts, flux, r, phi, enshift,
+    time, emis — count-normalised like the reference
+    (imageplane_disc_image.cpp:166-176).
+
+    ``dtype`` is the working precision of the traced pipeline; pass
+    jnp.float32 to run the explicit-f32 path the TPU executes. With a
+    ``mesh`` the whole step (march + redshift + per-shard pixel
+    accumulation + psum map merge) runs data-parallel over the mesh's
+    ``rays`` axis (parallel.sharded_disc_image) — the multi-chip twin of
+    the reference's OpenMP ray loop over this app (raytracer.cpp:104).
+    """
+    img_nx = img_nx or grid.nx
+    img_ny = img_ny or grid.ny
+    a_trace = -spin  # propagation uses the negated spin (imageplane.cpp:12)
+    r_isco = isco_radius(spin)
+
+    if variant == "isco" and method == "euler":
+        raise ValueError("Euler integrator not supported for the ISCO variant "
+                         "(imageplane_disc_image_isco.cpp:76-80)")
+
+    rays = image_plane(dist, incl_deg, grid, spin, phi0, dtype=dtype)
+
+    if variant == "plain":
+        dest = ThetaLimit(jnp.pi / 2)
+    elif variant == "rd":
+        dest = FlatDisc(theta_lim)
+    elif variant == "isco":
+        dest = DiscWithISCO(r_isco=r_isco, r_out=r_disc)
+    else:
+        raise ValueError(f"unknown variant {variant!r}")
+    # destination params share the working dtype (no silent f64 promotion)
+    dest = jax.tree.map(lambda v: jnp.asarray(v, dtype), dest)
+
+    kwargs = dict(
+        variant=variant, dest=dest, theta_lim=theta_lim, r_isco=r_isco,
+        q1=q1, rb1=rb1, q2=q2, rb2=rb2, q3=q3, flip_image=flip_image,
+    )
+    if mesh is not None:
+        from raytrace_tpu.parallel import sharded_disc_image
+
+        counts, images = sharded_disc_image(
+            rays, spin, mesh, grid=grid, r_disc=r_disc,
+            img_nx=img_nx, img_ny=img_ny, method=method,
+            r_max=1.1 * dist, steplim=steplim, ctrl=ctrl, **kwargs,
+        )
+    else:
+        rays = redshift_start(rays, a_trace, V=0.0, reverse=True)
+        out = trace_fn(
+            rays, a_trace, method=method, dest=dest, r_max=1.1 * dist,
+            steplim=steplim, ctrl=ctrl,
+        )
+        counts, images = accumulate_image_maps(
+            out, spin, grid, r_disc, img_nx, img_ny, **kwargs,
+        )
 
     counts_np = np.asarray(counts)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -205,15 +258,23 @@ def _main(variant):
         print(f"disc_image[{variant}]: spin={spin} incl={incl} "
               f"{grid.nx}x{grid.ny} rays -> {img_nx}x{img_ny} image")
 
-        out = compute(
-            spin, dist, incl, grid, r_disc,
-            img_nx=img_nx, img_ny=img_ny,
-            q1=q1, rb1=rb1, q2=q2, rb2=rb2, q3=q3, phi0=phi0,
-            variant=variant, theta_lim=theta_lim, method=method,
-            flip_image=flip_image,
-            steplim=None if steplim <= 0 else steplim,
-            ctrl=StepControl(rk45_tol=rk45_tol),
-        )
+        from raytrace_tpu.parallel import auto_mesh
+        from raytrace_tpu.utils.progress import app_phase
+
+        mesh = auto_mesh()
+        if mesh is not None:
+            print(f"sharding {grid.n_rays} rays over {mesh.devices.size} devices")
+        with app_phase(f"disc_image {variant} march+accumulate"):
+            out = compute(
+                spin, dist, incl, grid, r_disc,
+                img_nx=img_nx, img_ny=img_ny,
+                q1=q1, rb1=rb1, q2=q2, rb2=rb2, q3=q3, phi0=phi0,
+                variant=variant, theta_lim=theta_lim, method=method,
+                flip_image=flip_image,
+                steplim=None if steplim <= 0 else steplim,
+                ctrl=StepControl(rk45_tol=rk45_tol),
+                mesh=mesh,
+            )
 
         n_disc = int(out["counts"].sum())
         print(f"{n_disc} rays hit the disc")

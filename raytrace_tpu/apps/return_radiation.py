@@ -111,15 +111,20 @@ def main_photonfrac(argv=None):
     steplim = cfg.get("steplim", int, 20000)
 
     radii, _, _ = bin_edges(r0, r_max, n_r, logbin)
+    from raytrace_tpu.utils.progress import ProgressBar
+
+    bar = ProgressBar(len(np.asarray(radii)), label="launch radii")
     with TextOutput(outfile) as f:
-        for r_l in np.asarray(radii):
+        for i, r_l in enumerate(np.asarray(radii)):
             res = photon_fractions(float(r_l), spin, grid, r_esc=r_esc,
                                    r_disc=r_esc, steplim=steplim)
             n = max(res["n_live"], 1)
             f.row(r_l, res["n_return"] / n, res["n_escape"] / n,
                   res["n_horizon"] / n, res["n_live"])
-            print(f"r={r_l:8.3f}: return {res['n_return']/n:.3f} "
-                  f"escape {res['n_escape']/n:.3f} capture {res['n_horizon']/n:.3f}")
+            bar.show(i + 1, extra=f"r={r_l:.3f} return {res['n_return']/n:.3f} "
+                     f"escape {res['n_escape']/n:.3f} "
+                     f"capture {res['n_horizon']/n:.3f}")
+    bar.done()
     print(f"wrote {outfile}")
     return 0
 

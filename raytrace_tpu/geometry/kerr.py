@@ -57,12 +57,33 @@ def _isco_radius_jvp(sign, primals, tangents):
     (a,) = primals
     (da,) = tangents
     (z1, z2), (dz1, dz2) = jax.jvp(_isco_z12, (a,), (da,))
-    u = 3.0 - z1
+    # u = 3 - z1 = (8/9)a^2 (1 + (7/27)a^2 + O(a^4)) cancels catastrophically
+    # for small spins: z1 is computed from O(1) terms, so u carries an
+    # absolute error ~3 eps that dominates once (8/9)a^2 ~ eps (a ~ 1e-8 in
+    # f64) — dividing by sqrt(u v) then turns the spin-gradient into finite
+    # garbage (~1e23 at a = 1e-8, vs the true -3.266). Below the crossover
+    # |a| < eps^(1/4) (where the series truncation error meets the exact
+    # branch's rounding error) we therefore evaluate u and u' from the
+    # series; everything else (z2, v) is cancellation-free.
+    a2 = a * a
+    u_exact = 3.0 - z1
+    u_series = (8.0 / 9.0) * a2 * (1.0 + (7.0 / 27.0) * a2)
+    du_exact = -dz1
+    du_series = (16.0 / 9.0) * a * (1.0 + (14.0 / 27.0) * a2) * da
+    dtype = jnp.result_type(a)
+    small = jnp.abs(a) < jnp.finfo(dtype).eps ** 0.25
+    u = jnp.where(small, u_series, u_exact)
+    du = jnp.where(small, du_series, du_exact)
     v = 3.0 + z1 + 2.0 * z2
     t = jnp.sqrt(u * v)
-    # (u v)' / (2 t), floored: z1 and z2 are even in a, so at a = 0 both u
-    # and the numerator vanish ~a^2 and the ratio's limit along da is 0.
-    dt = (-dz1 * v + u * (dz1 + 2.0 * dz2)) / (2.0 * jnp.maximum(t, 1e-30))
+    # (u v)' / (2 t): both u and the numerator vanish ~a^2 at a = 0, so the
+    # ratio's limit along da is the finite series slope (|dr/da| -> 4
+    # sqrt(2/3) = 3.266 as a -> 0+, and exactly 0 at a = 0, the symmetric
+    # subgradient of this even-in-spin parametrization). The floor only
+    # guards literal 0/0 at a = 0 (numerator is 0 there too); it is scaled
+    # to sqrt(tiny) so f32's t can't underflow past it into a blowup.
+    floor = jnp.asarray(jnp.finfo(dtype).tiny, dtype) ** 0.5
+    dt = (du * v + u * (2.0 * dz2 - du)) / (2.0 * jnp.maximum(t, floor))
     return 3.0 + z2 - sign * t, dz2 - sign * dt
 
 

@@ -42,9 +42,13 @@ def pallas_supported(method="rk45", dest=None) -> bool:
 def kernel_steplim(method, steplim=None) -> int:
     """Stuck-ray cap for the Pallas kernel when the caller gave none.
 
-    The XLA-path defaults are sized for f64 CPU; the kernel caps stuck rays
-    at the measured well-behaved maxima (BASELINE.md: well-behaved RK45 rays
-    stay under ~35k steps; RK4 under ~30k for the benched workloads).
+    The XLA-path defaults are sized for f64 CPU. RK4 is capped at 30k —
+    just above the measured well-behaved maximum for the benched workloads.
+    RK45 keeps the reference's own RK45_STEPLIM = 1e5 (raytracer.h:33-39):
+    well-behaved RK45 rays stay under ~35k steps, but near-separatrix rays
+    between "well-behaved" and "stuck" legitimately use the 35k-100k range
+    at tight tolerances, and the fused compaction schedule makes the tail
+    cheap (narrow blocks), so the conservative cap costs little.
     """
     if steplim is None or steplim <= 0:
         return 100_000 if method == "rk45" else 30_000
@@ -58,17 +62,31 @@ def trace_auto(rays, spin, **kw):
     Pallas kernel — the whole march in VMEM, f32 — with the fused
     multi-phase long-tail compaction; otherwise the XLA lock-step path,
     f64 on CPU. Accepts the trace_compacted keyword set.
+
+    ``progress=True`` (or RT_PROGRESS=1 in the environment) dispatches the
+    compaction schedule phase by phase with a terminal progress bar
+    between dispatches, on either engine — the compiled analogue of the
+    reference's in-loop progress bar (raytracer.cpp:107-115).
     """
+    import os
+
     method = kw.get("method", "rk45")
     dest = kw.get("dest")
+    progress = kw.pop("progress", None)
+    if progress is None:
+        progress = os.environ.get("RT_PROGRESS", "0") == "1"
     if pallas_supported(method, dest):
         # the fused driver runs the whole compaction schedule (wide march,
         # device-side survivor gather, narrow stuck-ray tail, full-width
         # drain) as a single dispatch — no host round trips between phases,
         # which dominate on a network-tunneled chip
-        from raytrace_tpu.ops.pallas_kernel import trace_pallas_fused
+        from raytrace_tpu.ops.pallas_kernel import (
+            trace_pallas_fused,
+            trace_pallas_phased,
+        )
 
-        return trace_pallas_fused(
+        run = trace_pallas_phased if progress else trace_pallas_fused
+        return run(
             rays,
             spin,
             method=method,
@@ -78,7 +96,7 @@ def trace_auto(rays, spin, **kw):
             ctrl=kw.get("ctrl", StepControl()),
             boundary=kw.get("boundary"),
         )
-    return trace_compacted(rays, spin, **kw)
+    return trace_compacted(rays, spin, progress=progress, **kw)
 
 
 __all__ = [

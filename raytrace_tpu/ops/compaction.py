@@ -29,7 +29,7 @@ _BN16 = 16 * 128
 _BN8 = 8 * 128
 
 
-def auto_schedule(n: int, total: int, open_iters: int = 512, rows: int = 32,
+def auto_schedule(n: int, total: int, open_iters: int = 832, rows: int = 32,
                   unroll: int = 4):
     """Static compaction schedule: (iters, width, rows, unroll) per phase.
 
@@ -40,19 +40,26 @@ def auto_schedule(n: int, total: int, open_iters: int = 512, rows: int = 32,
 
     Tuned against the measured per-ray step distribution of the canonical
     disc workloads (sharply bimodal: every ray needs a few hundred steps,
-    ~0.04% photon-sphere creepers run to the step limit): a full-width
-    opening march, one mid-width phase catching the p99 cluster, then the
-    long stuck-ray tail in short (8,128) blocks where each iteration costs
-    half the vregs. Widths carry ~25% headroom over the measured survivor
-    counts; a workload that overflows them is drained correctly (if more
-    slowly) by the full-width drain phase appended by ``run_phases``.
+    ~0.04% photon-sphere creepers run to the step limit) AND the round-4
+    profiler trace (analysis/profiles/rk4_march_tpu): each lane-exact
+    gather costs milliseconds on TPU, while a RETIRED block in a
+    full-width phase costs only its own loop-condition check — the Pallas
+    grid is already a free block-granular compactor. So the opening
+    full-width phase runs to 832 iterations (past the canonical RK4
+    workload's max of 782: its gathers then skip entirely via the
+    ``run_phases`` cond), a mid-width phase catches the adaptive-path p99
+    cluster, and the long stuck-ray tail runs in short (8,128) blocks
+    where each iteration costs half the vregs. Widths carry headroom over
+    the measured survivor counts; a workload that overflows them is
+    drained correctly (if more slowly) by the full-width drain phase
+    appended by ``run_phases``.
     """
     full = -(-n // _BN16) * _BN16
     w2 = -(-int(0.45 * n) // _BN16) * _BN16
     w3 = -(-max(2 * _BN8, n // 24) // _BN8) * _BN8
     if w2 >= full or n <= 4 * _BN16:
         return ((total, None, rows, unroll),)
-    sched = [(open_iters, None, rows, unroll), (320, w2, rows, unroll)]
+    sched = [(open_iters, None, rows, unroll), (2240, w2, rows, unroll)]
     sched.append((total, w3, 8, 4) if w3 < w2 else (total, w2, rows, unroll))
     return tuple(sched)
 
@@ -60,17 +67,22 @@ def auto_schedule(n: int, total: int, open_iters: int = 512, rows: int = 32,
 def compact_gather(out: RayBatch, width: int):
     """Gather the active lanes into a width-wide sub-batch, on device.
 
-    ``jnp.nonzero(size=width)`` pads with index n (out of bounds): gathered
-    as zeros and marked dead (steps = -1), and dropped again by the
-    out-of-bounds scatter on the way back. If more than ``width`` lanes are
-    active, the excess stays behind untouched (still active in ``out``) —
-    finished by the drain phase.
+    The packed index list comes from a sort of ``where(active, iota, n)``
+    rather than ``jnp.nonzero(size=width)``: nonzero lowers to a scatter,
+    which serialises per update on TPU — the round-4 profiler trace
+    measured 10.4 ms per gather on the 125k-ray workload, ~36% of the
+    whole march; the sort is vectorised and ~2x cheaper, with identical
+    semantics (ascending active indices, padded with the out-of-bounds
+    index n, which gathers as zeros, is marked dead (steps = -1), and is
+    dropped again by the mode="drop" scatter on the way back). If more
+    than ``width`` lanes are active, the excess stays behind untouched
+    (still active in ``out``) — finished by the drain phase.
     """
     n = out.n_rays
     active = out.active
-    count = jnp.sum(active.astype(jnp.int32))
-    idx = jnp.nonzero(active, size=width, fill_value=n)[0].astype(jnp.int32)
-    live = jnp.arange(width, dtype=jnp.int32) < count
+    key = jnp.where(active, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    idx = jax.lax.sort(key)[:width]
+    live = idx < n
     sub = jax.tree.map(
         # fill_value must be static (it is baked into the gather primitive)
         lambda a: jnp.take(a, idx, axis=0, mode="fill", fill_value=0),
@@ -84,7 +96,8 @@ def compact_scatter(out: RayBatch, sub: RayBatch, idx):
     return jax.tree.map(lambda o, s: o.at[idx].set(s, mode="drop"), out, sub)
 
 
-def run_phases(out: RayBatch, spin, schedule, total: int, phase_fn) -> RayBatch:
+def run_phases(out: RayBatch, spin, schedule, total: int, phase_fn,
+               fuse: bool = True) -> RayBatch:
     """Run the compaction schedule, then a full-width drain phase.
 
     ``phase_fn(batch, spin, iters, rows, unroll) -> batch`` marches a batch
@@ -95,6 +108,11 @@ def run_phases(out: RayBatch, spin, schedule, total: int, phase_fn) -> RayBatch:
     Pallas engine), and otherwise it finishes the lanes the static widths
     could not hold — identical resume semantics, so the result is exactly
     as if the schedule had fit.
+
+    ``fuse=False`` is for host-driven callers (the progress drivers) whose
+    phase_fn has host side-effects: the empty-gather skip becomes a plain
+    Python branch on a fetched activity count instead of a traced
+    lax.cond.
     """
     n = out.n_rays
     used = 0
@@ -107,9 +125,22 @@ def run_phases(out: RayBatch, spin, schedule, total: int, phase_fn) -> RayBatch:
             out = phase_fn(out, spin, iters, rows, unroll)
             full_to_end = used + iters >= total
         else:
-            sub, idx = compact_gather(out, width)
-            sub = phase_fn(sub, spin, iters, rows, unroll)
-            out = compact_scatter(out, sub, idx)
+            # cond-skip an empty compaction: when every lane has retired
+            # (the common case for fixed-step workloads once the opening
+            # phase covers their max), the gather's sort + 21-array
+            # take/scatter would be pure waste — measured ~10 ms per
+            # skipped gather on the canonical workload (round-4 trace)
+            def _compacted(o, w=width, it=iters, rw=rows, un=unroll):
+                sub, idx = compact_gather(o, w)
+                sub = phase_fn(sub, spin, it, rw, un)
+                return compact_scatter(o, sub, idx)
+
+            if fuse:
+                out = jax.lax.cond(
+                    jnp.any(out.active), _compacted, lambda o: o, out
+                )
+            elif bool(jnp.any(out.active)):
+                out = _compacted(out)
             full_to_end = False
         used += iters
     if not full_to_end:

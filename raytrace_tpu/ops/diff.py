@@ -135,6 +135,92 @@ def trace_scan(
     return final
 
 
+def separatrix_score(k, h, Q, spin, n_grid=64):
+    """Smooth per-ray distance to the Kerr photon-shell separatrix.
+
+    A photon with constants (k, h, Q) is captured or escapes according to
+    the sign of min_r R(r) over the photon shell, where R is Carter's
+    radial potential rho^4 rdot^2 = (k(r^2+a^2) - a h)^2 - Delta (Q +
+    (h - a k)^2); rays with min_r R near zero are the chaotic
+    photon-sphere-skimming set whose landing point is Lyapunov-amplified
+    fp noise. The score is that minimum over a fixed log grid spanning
+    every spherical photon orbit radius (r in [1, 4.5] covers prograde
+    through retrograde for all |a| <= 1), normalised by the magnitude of
+    the cancelling terms so it is dimensionless and O(1) away from the
+    separatrix. Smooth in (k, h, Q, spin) — and, unlike anything computed
+    from the marched trajectory, it depends only on the initial constants,
+    so recompilation/fusion changes cannot move it beyond one ulp.
+    """
+    ftype = jnp.result_type(k)
+    k_safe = jnp.where(jnp.abs(k) > 1e-30, k, jnp.ones_like(k))
+    xi = (h / k_safe)[..., None]
+    eta = (Q / (k_safe * k_safe))[..., None]
+    r = jnp.logspace(0.0, jnp.log10(4.5), n_grid, dtype=ftype)
+    delta = r * r - 2.0 * r + spin * spin
+    A = (r * r + spin * spin) - spin * xi
+    B = eta + (xi - spin) ** 2
+    R = A * A - delta * B
+    norm = A * A + jnp.abs(delta) * B + 1.0
+    return jnp.min(R / norm, axis=-1)
+
+
+def launch_turning_scores(r0, theta0, k, h, Q, spin):
+    """Normalised radial and polar potentials at the launch point.
+
+    Rays launched exactly AT a turning point — cos(alpha) = 0 lamppost
+    rays have R(r0) = 0 identically, sin(beta) = 0 rays have
+    Theta(theta0) = 0 — re-derive the corresponding momentum from
+    sqrt(|potential|) every step, so the sign of their first move is a
+    rounding coin flip that any recompilation/re-fusion can land on the
+    other side (measured: cos(alpha) = 0 rays at spin 0.9 fall in to
+    r = 3.3 under one fusion and climb to r = 10.5 under another). The
+    sources already floor the IMAGE-plane version of this knife edge
+    (sources/imageplane.py y = 0 regularisation); for observables the
+    smooth fix is to weight such rays out (chaos_weight). Both scores are
+    pure functions of the initial state/constants — recompilation cannot
+    move them."""
+    k_safe = jnp.where(jnp.abs(k) > 1e-30, k, jnp.ones_like(k))
+    xi = h / k_safe
+    eta = Q / (k_safe * k_safe)
+    delta = r0 * r0 - 2.0 * r0 + spin * spin
+    A = r0 * r0 + spin * spin - spin * xi
+    B = eta + (xi - spin) ** 2
+    r_score = (A * A - delta * B) / (A * A + jnp.abs(delta) * B + 1.0)
+    sin2 = jnp.maximum(jnp.sin(theta0) ** 2, 1e-30)
+    cos2 = jnp.cos(theta0) ** 2
+    barrier = xi * xi / sin2
+    th_score = (eta + cos2 * (spin * spin - barrier)) / (
+        eta + spin * spin + barrier + 1.0
+    )
+    return r_score, th_score
+
+
+def chaos_weight(sep_score, launch_scores=(), sep_margin=0.05,
+                 launch_margin=0.02):
+    """Smooth membership weight suppressing the recompilation-sensitive
+    ray sets: kills their influence on the *value* of an observable (not
+    just its gradient), so the observable is robust to the fp/step-phase
+    trajectory perturbations that recompilation, re-fusion or hardware
+    changes introduce — those can only move rays whose weight is already
+    negligible. This is what lets the sharded gradient step be one jitted
+    program (parallel/sharding.py::_sharded_gradient_program).
+
+    One factor 1 - exp(-(s/margin)^2) per sensitive set:
+      * photon-shell separatrix: Lyapunov amplification of ulp noise near
+        capture/escape criticality (separatrix_score);
+      * launch turning points: the momentum-sign coin flip of rays
+        launched where R(r0) or Theta(theta0) vanish
+        (launch_turning_scores) — the flip window is rounding-scale, far
+        inside the margin, so only the knife-edge rays lose weight.
+    """
+    xs = sep_score / sep_margin
+    w = -jnp.expm1(-(xs * xs))
+    for s in launch_scores:
+        x = s / launch_margin
+        w = w * -jnp.expm1(-(x * x))
+    return w
+
+
 def smooth_radial_observable(out: RayBatch, mask, weights, r0, sigma_ln=0.25):
     """A smooth scalar observable for gradient work: the weights of masked
     rays accumulated under a log-normal radial window centred on r0.
@@ -183,8 +269,80 @@ def emissivity_observable_from_angles(spin, h_source, gamma, cosalpha, beta,
     # its jumps are the chaotic separatrix noise the smooth observable
     # averages over.
     hit = lax.stop_gradient(hit)
+    # Soft membership: near-separatrix rays are smoothly weighted out of the
+    # VALUE, not just the gradient — a hard mask leaves the observable
+    # sensitive to which side of the capture boundary each chaotic ray's
+    # fp-noise-amplified trajectory lands on, which shifts it at the percent
+    # level under mere re-fusion (the round-3 sharded-gradient jit hazard).
+    # The weight is a smooth function of the pre-march constants, so it both
+    # carries honest gradient terms and cannot itself move under
+    # recompilation.
+    w_stable = chaos_weight(
+        separatrix_score(rays.k, rays.h, rays.Q, spin),
+        launch_turning_scores(rays.r, rays.theta, rays.k, rays.h, rays.Q, spin),
+    )
     g_safe = jnp.where(hit, out.redshift, 1.0)
-    return smooth_radial_observable(out, hit, 1.0 / g_safe**gamma, r0, sigma_ln)
+    return smooth_radial_observable(
+        out, hit, w_stable / g_safe**gamma, r0, sigma_ln
+    )
+
+
+def line_profile_observable(spin, incl_deg, grid, *, dist=500.0, r_disc=50.0,
+                            q=3.0, e_rest=1.0, energies=None, sigma_e=0.035,
+                            n_steps=2048, checkpoint_every=64):
+    """Differentiable relativistic line profile P(E; spin, incl).
+
+    The science target of the gradient north star: fitting observed
+    iron-K line shapes for spin and inclination. Folds a backward-traced
+    image plane through the differentiable march into a smooth observed
+    line profile — each disc-hitting ray contributes its flux
+    epsilon(r)/g^3 at observed energy e_rest/g under a Gaussian energy
+    kernel (the smooth analogue of the histogram fold in
+    apps/line_profile.py::line_profile_from_maps, itself the
+    python/line_from_image.ipynb capability; per-pixel accumulation
+    reference: imageplane_disc_image.cpp:146-153).
+
+    Both ``spin`` and ``incl_deg`` are differentiable: traced parameters
+    route image_plane through its all-traced construction, and the march
+    is the checkpointed trace_scan. The hit mask is stop-gradded
+    (piecewise constant); near-separatrix rays are chaos_weight-suppressed
+    from the value so the profile is recompilation-robust like the
+    emissivity observable. Launch turning points cannot occur on an image
+    plane (pr = -D/r < 0 everywhere, and the y = 0 polar knife edge is
+    already floored in the source), so only the separatrix score applies.
+
+    Returns the [n_e] profile for ``energies`` (default: 48 points spanning
+    0.3..1.3 e_rest, the classic broad-line window).
+    """
+    from raytrace_tpu.geometry import isco_radius
+    from raytrace_tpu.geometry.kerr import bl_to_cartesian
+    from raytrace_tpu.ops.redshift import apply_redshift, redshift_start
+    from raytrace_tpu.sources import image_plane
+
+    if energies is None:
+        energies = jnp.linspace(0.3 * e_rest, 1.3 * e_rest, 48)
+    a_trace = -spin
+    rays = image_plane(dist, incl_deg, grid, spin)
+    rays = redshift_start(rays, a_trace, V=0.0, reverse=True)
+    out = trace_scan(rays, a_trace, method="rk4", r_max=1.1 * dist,
+                     n_steps=n_steps, checkpoint_every=checkpoint_every)
+    out = apply_redshift(out, a_trace, V=-1.0, reverse=True)
+
+    g = out.redshift
+    _, _, z = bl_to_cartesian(out.r, out.theta, out.phi, spin)
+    hit = (
+        out.ok & (z < 1e-2) & (out.r >= isco_radius(spin))
+        & (out.r < r_disc) & (g > 0)
+    )
+    hit = lax.stop_gradient(hit)
+    w = chaos_weight(separatrix_score(out.k, out.h, out.Q, a_trace))
+
+    g_safe = jnp.where(hit, g, 1.0)
+    r_safe = jnp.where(hit, out.r, 1.0)
+    flux = jnp.where(hit, w * r_safe ** (-q) / g_safe**3, 0.0)
+    e_obs = e_rest / g_safe
+    kern = jnp.exp(-0.5 * ((energies[None, :] - e_obs[:, None]) / sigma_e) ** 2)
+    return jnp.sum(flux[:, None] * kern, axis=0)
 
 
 def emissivity_binned_profile(spin, h_source, gamma, grid, *, r_min=None,

@@ -750,6 +750,7 @@ def trace_compacted(
     min_batch: int = 256,
     unroll: int = 1,
     schedule=None,
+    progress: bool = False,
 ) -> RayBatch:
     """trace() with fused phase compaction for heterogeneous ray lifetimes.
 
@@ -765,6 +766,12 @@ def trace_compacted(
 
     Semantics are identical to trace(): per-ray step counts, statuses and
     the adaptive dt are carried across phases.
+
+    ``progress=True`` dispatches the schedule phase by phase from the host
+    with a terminal progress bar between dispatches (the compiled analogue
+    of the reference's in-loop progress bar, progress_bar.h:25-74 /
+    raytracer.cpp:107-115) — a few extra host round trips, so the fused
+    single-dispatch path stays the default.
     """
     if dest is None:
         dest = ThetaLimit(jnp.pi / 2)
@@ -778,8 +785,54 @@ def trace_compacted(
                 rays.n_rays, total, open_iters=phase_iters
             )
         )
+    if progress:
+        return _trace_phased_progress(
+            rays, spin, dest, boundary, r_max,
+            method=method, schedule=tuple(tuple(p) for p in schedule),
+            steplim=steplim, ctrl=ctrl, unroll=unroll, total=total,
+        )
     return _trace_fused_xla(
         rays, spin, dest, boundary, r_max,
         method=method, schedule=tuple(tuple(p) for p in schedule),
         steplim=steplim, ctrl=ctrl, unroll=unroll,
     )
+
+
+def _trace_phased_progress(
+    rays, spin, dest, boundary, r_max, *, method, schedule, steplim, ctrl,
+    unroll, total
+):
+    """Host-driven twin of _trace_fused_xla: one dispatch per schedule
+    phase, a progress-bar update (iterations completed / budget, plus the
+    live survivor count) between dispatches. Identical resume semantics —
+    the phases are the same jitted trace() calls the fused program runs."""
+    import jax as _jax
+    import numpy as _np
+
+    from raytrace_tpu.utils.progress import ProgressBar
+
+    horizon = horizon_radius(spin) if boundary is None else boundary
+    out = rays.replace(
+        r_was_positive=jnp.zeros_like(rays.r_was_positive),
+        theta_was_positive=jnp.ones_like(rays.theta_was_positive),
+    )
+    if method == "rk45":
+        out = out.replace(dt=_seed_rk45_step(out, spin, horizon, ctrl))
+
+    bar = ProgressBar(total, label=f"march[{method}] {rays.n_rays} rays")
+    done = {"it": 0}
+
+    def phase(batch, s, iters, rows, _unroll):
+        res = trace(
+            batch, s, method=method, dest=dest, r_max=r_max, steplim=steplim,
+            ctrl=ctrl, boundary=boundary, max_iters=iters, unroll=unroll,
+            resume=True, refine_crossing=False,
+        )
+        n_live = int(_np.asarray(_jax.device_get(res.active)).sum())
+        done["it"] = min(done["it"] + iters, total)
+        bar.show(done["it"], extra=f"{n_live} live")
+        return res
+
+    out = run_phases(out, spin, schedule, total, phase, fuse=False)
+    bar.done()
+    return _refine_theta_crossing(out, dest, spin)

@@ -115,13 +115,16 @@ def _local_redshift(r, theta, phi, k, h, Q, rdot_sign, thetadot_sign, emit, spin
     return jnp.where(reverse, recv / emit, emit / recv)
 
 
-def velocity_law(motion, vel, vel_mode, r, theta, r_max):
+def velocity_law(motion, vel, vel_mode, r, theta, r_max, spin=0.0,
+                 reverse=False):
     """The mapper's material velocity field (mapper.cpp:249-256):
-    motion 0 -> projected-radius Keplerian orbit; motion 1 -> radial with
+    motion 0 -> projected-radius Keplerian orbit Omega = 1/(a + r_p^{3/2})
+    (spin negated for backward-traced planes); motion 1 -> radial with
     vel_mode 0 constant, 1 linear in r/r_max, 2 sqrt(r/r_max)."""
     if motion == 0:
+        a_eff = -spin if reverse else spin
         r_p = r * jnp.sin(theta)
-        return None  # resolved against the spin by the caller
+        return 1.0 / (a_eff + r_p * jnp.sqrt(r_p))
     if vel_mode == 0:
         return vel * jnp.ones_like(r)
     if vel_mode == 1:
@@ -180,12 +183,8 @@ def map_rays(
         cell, in_range = grid.cell_index(st2.r, st2.theta, st2.phi)
         moved = active & in_range & (cell != last)
 
-        if motion == 0:
-            a_eff = -spin if reverse else spin
-            r_p = st2.r * jnp.sin(st2.theta)
-            V = 1.0 / (a_eff + r_p * jnp.sqrt(r_p))
-        else:
-            V = velocity_law(motion, vel, vel_mode, st2.r, st2.theta, grid.r_max)
+        V = velocity_law(motion, vel, vel_mode, st2.r, st2.theta,
+                         grid.r_max, spin, reverse)
 
         g_local = _local_redshift(
             st2.r, st2.theta, st2.phi, st2.k, st2.h, st2.Q,

@@ -351,6 +351,63 @@ def _trace_pallas_fused_jit(
     return _refine_theta_crossing(out, dest, spin)
 
 
+def trace_pallas_phased(
+    rays: RayBatch,
+    spin,
+    *,
+    method: str = "rk4",
+    dest=None,
+    r_max=1000.0,
+    steplim: int = 30_000,
+    ctrl: StepControl = StepControl(),
+    schedule=None,
+    boundary=None,
+) -> RayBatch:
+    """Host-dispatched twin of trace_pallas_fused with progress reporting.
+
+    Runs the same compaction schedule, but one kernel dispatch per phase
+    with a progress-bar update (iterations used / budget + live survivor
+    count) between dispatches — the compiled analogue of the reference's
+    in-loop progress bar (progress_bar.h:25-74, raytracer.cpp:107-115).
+    Costs a handful of host round trips (~30 ms each on a tunneled chip),
+    so trace_auto selects it only when progress is requested.
+    """
+    import numpy as np
+
+    from raytrace_tpu.utils.progress import ProgressBar
+
+    if dest is None:
+        dest = ThetaLimit(jnp.pi / 2)
+    total = steplim + steplim // 4 + 16
+    if schedule is None:
+        schedule = auto_schedule(rays.n_rays, total, rows=_ROWS, unroll=_UNROLL)
+    horizon = horizon_radius(spin) if boundary is None else boundary
+    out = rays.replace(
+        r_was_positive=jnp.zeros_like(rays.r_was_positive),
+        theta_was_positive=jnp.ones_like(rays.theta_was_positive),
+    )
+    if method == "rk45":
+        out = out.replace(dt=_seed_rk45_step(out, spin, horizon, ctrl))
+
+    bar = ProgressBar(total, label=f"march[{method}] {rays.n_rays} rays")
+    done = {"it": 0}
+
+    def phase(batch, s, iters, rows, unroll):
+        res = trace_pallas(
+            batch, s, method=method, dest=dest, r_max=r_max, steplim=steplim,
+            ctrl=ctrl, max_iters=iters, refine_crossing=False, rows=rows,
+            unroll=unroll, resume=True, boundary=boundary,
+        )
+        n_live = int(np.asarray(res.active).sum())
+        done["it"] = min(done["it"] + iters, total)
+        bar.show(done["it"], extra=f"{n_live} live")
+        return res
+
+    out = run_phases(out, spin, schedule, total, phase, fuse=False)
+    bar.done()
+    return _refine_crossing_jit(out, dest, spin)
+
+
 def trace_pallas_fused(
     rays: RayBatch,
     spin,
@@ -381,7 +438,10 @@ def trace_pallas_fused(
         dest = ThetaLimit(jnp.pi / 2)
     total = steplim + steplim // 4 + 16
     if schedule is None:
-        schedule = auto_schedule(rays.n_rays, total)
+        # rows/unroll from the module tunables so RT_PALLAS_ROWS/_UNROLL
+        # reach the fused production path (the one trace_auto routes to),
+        # not just bare trace_pallas — kernel_sweep A/Bs this path.
+        schedule = auto_schedule(rays.n_rays, total, rows=_ROWS, unroll=_UNROLL)
     return _trace_pallas_fused_jit(
         rays, spin, dest, boundary,
         method=method, schedule=tuple(tuple(p) for p in schedule),

@@ -76,6 +76,14 @@ def make_ray_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("rays",))
 
 
+def auto_mesh() -> Mesh | None:
+    """Mesh over all addressable devices when there is more than one, else
+    None — the apps' auto-sharding hook (every reference app parallelises
+    through the one OpenMP ray loop, raytracer.cpp:104; here every app
+    shards its ray batch whenever a multi-device backend is present)."""
+    return make_ray_mesh() if jax.device_count() > 1 else None
+
+
 def _pad_tail(a, pad, edge: bool):
     """Pad the trailing axis by ``pad`` rows — zeros, or the edge value
     (for quantities that must stay in their finite domain)."""
@@ -258,6 +266,127 @@ def _sharded_bins_program(mesh, use_pallas, method, V, r_min, dr, n_r,
     return jax.jit(run)
 
 
+def sharded_disc_image(
+    rays: RayBatch,
+    spin,
+    mesh: Mesh,
+    *,
+    grid,
+    r_disc,
+    img_nx: int,
+    img_ny: int,
+    variant: str = "plain",
+    dest=None,
+    theta_lim=np.pi / 2,
+    r_isco=None,
+    q1=3.0,
+    rb1=4.0,
+    q2=3.0,
+    rb2=10.0,
+    q3=3.0,
+    flip_image: bool = True,
+    method: str = "rk45",
+    r_max=1000.0,
+    steplim: int | None = None,
+    ctrl: StepControl = StepControl(),
+):
+    """Full sharded disc-image step: per-shard march (Pallas engine on
+    accelerator backends) + redshift + per-shard pixel accumulation, then
+    one psum over the ``rays`` mesh axis merges the 6 partial maps + counts
+    (replicated output). The multi-chip twin of the reference's OpenMP ray
+    loop over its flagship image app (raytracer.cpp:104,
+    imageplane_disc_image.cpp:122-176); the hit criterion and pixel binning
+    are the app's own accumulate_image_maps — one definition for the
+    single-chip and multi-chip paths (tests/test_parallel.py pins 8-device
+    == single-device bitwise counts).
+
+    ``rays`` is the un-sharded camera batch (padding/sharding happens
+    here); returns (counts, {flux, r, phi, enshift, time, emis}),
+    un-normalised like accumulate_image_maps.
+    """
+    from raytrace_tpu.geometry import isco_radius
+
+    if r_isco is None:
+        r_isco = isco_radius(spin)
+    rays = pad_rays(rays, mesh.devices.size)
+    rays = shard_rays(rays, mesh)
+    if dest is None:
+        leaves, treedef = (), None
+    else:
+        leaves, treedef = jax.tree.flatten(dest)
+    run = _sharded_image_program(
+        mesh, _pallas_supported(method, dest), method, variant, treedef,
+        grid, float(r_disc), int(img_nx), int(img_ny), float(theta_lim),
+        float(r_isco), float(q1), float(rb1), float(q2), float(rb2),
+        float(q3), bool(flip_image), float(r_max), steplim, ctrl,
+    )
+    return run(rays, spin, tuple(leaves))
+
+
+@lru_cache(maxsize=64)
+def _sharded_image_program(mesh, use_pallas, method, variant, dest_treedef,
+                           grid, r_disc, img_nx, img_ny, theta_lim, r_isco,
+                           q1, rb1, q2, rb2, q3, flip_image, r_max, steplim,
+                           ctrl):
+    """Cached shard_map program for the full image step (see
+    _sharded_trace_program for why caching is load-bearing). ``grid`` is
+    the frozen ImagePlaneGrid dataclass (hashable static geometry)."""
+    from raytrace_tpu.apps.imageplane_disc_image import accumulate_image_maps
+
+    engine = _shard_engine(use_pallas, method, r_max, steplim, ctrl)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("rays"), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(shard, s, dest_leaves):
+        dest = (jax.tree.unflatten(dest_treedef, list(dest_leaves))
+                if dest_treedef is not None else None)
+        a_trace = -s  # time reversal (imageplane.cpp:12)
+        shard = redshift_start(shard, a_trace, V=0.0, reverse=True)
+        out = engine(shard, a_trace, dest, None)
+        counts, images = accumulate_image_maps(
+            out, s, grid, r_disc, img_nx, img_ny, variant=variant,
+            dest=dest, theta_lim=theta_lim, r_isco=r_isco,
+            q1=q1, rb1=rb1, q2=q2, rb2=rb2, q3=q3, flip_image=flip_image,
+        )
+        return jax.lax.psum((counts, images), "rays")
+
+    return jax.jit(run)
+
+
+def sharded_caustic_trace(
+    rays: RayBatch,
+    spin,
+    mesh: Mesh,
+    *,
+    dest=None,
+    r_max=1000.0,
+    method: str = "rk45",
+    steplim: int | None = None,
+    ctrl: StepControl = StepControl(),
+) -> RayBatch:
+    """Sharded march for the caustic bundle pipelines: pad + shard the
+    (5-rays-per-pixel) bundle batch over the ``rays`` mesh axis, march each
+    shard with the backend's fastest engine, and return the full-width
+    batch (padding stripped) for the host-side Jacobian post-processing
+    (apps/caustics.py — pure array arithmetic, not worth a collective).
+    ``spin`` is the propagation spin (already negated for backward
+    tracing). Bundles need no co-residency: the Jacobian differences are
+    taken after the replicated gather, so slot-major sharding is safe."""
+    n = rays.n_rays
+    rays = pad_rays(rays, mesh.devices.size)
+    rays = shard_rays(rays, mesh)
+    out = sharded_trace(
+        rays, spin, mesh, method=method, dest=dest, r_max=r_max,
+        steplim=steplim, ctrl=ctrl,
+    )
+    return jax.tree.map(lambda a: a[:n], out)
+
+
 def sharded_emissivity_gradient(
     spin,
     h_source,
@@ -324,17 +453,19 @@ def _sharded_gradient_program(mesh, n_steps, r0, sigma_ln, r_max):
         val, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(s, h, g)
         return jax.lax.psum(val, "rays"), jax.lax.psum(grads, "rays")
 
-    # Deliberately NOT jax.jit-wrapped (unlike the forward-only programs
-    # above). Called bare, each shard executes the inner-jitted march
-    # (trace_scan) as the SAME compiled program the single-device pipeline
-    # runs, so sharded == unsharded to fp exactness (tests/test_parallel.py
-    # pins this). An outer jit inlines the march into one big program whose
-    # different fusion/rounding lets near-threshold chaotic rays land
-    # differently — the smooth observable then shifts at the percent level,
-    # run-to-run nondeterministically (measured jax 0.9: 60.59 bare/
-    # single-device vs 67.3-79.1 across jitted runs on the 8-device test
-    # config), and the gradient moves with it. The forward-only programs
-    # are immune because their per-ray outputs are compared through the
-    # kernel path, which is a single opaque Mosaic call either way. The
-    # lru_cache above still avoids per-call re-tracing.
-    return run
+    # jit-wrapped like every other sharded program: one compiled device
+    # program per call (no per-op tunnel round trips on a remote chip).
+    # Round 3 had to leave this bare because the observable used a HARD
+    # stop-gradient hit mask: outer-jit re-fusion perturbs the march at the
+    # ulp/step-phase level, and rays on two knife edges — near-separatrix
+    # chaotic lanes, and lanes launched exactly at a turning point whose
+    # momentum sign is a rounding coin flip — then land elsewhere, shifting
+    # the observable percent-level (measured 60.59 bare vs 67.3-79.1 across
+    # jitted runs). The fix is in the observable itself
+    # (ops/diff.py::chaos_weight + separatrix_score/launch_turning_scores):
+    # both sensitive sets are smoothly weighted out of the VALUE by
+    # functions of the pre-march constants only, so re-fusion can move
+    # nothing with non-negligible weight — tests/test_parallel.py pins
+    # jitted == bare (measured 1e-13 value / 1e-9 grads at spins 0.9 and
+    # 0.998) and sharded == single-device.
+    return jax.jit(run)

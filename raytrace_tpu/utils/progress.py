@@ -1,38 +1,82 @@
 """Terminal progress reporting for multi-phase runs.
 
 The reference shows a per-ray progress bar inside its OpenMP loop
-(src/include/progress_bar.h); compiled lock-step batches complete as a
-unit, so progress here is per phase/chunk — used by the compacted drivers
-and by apps looping over launch radii.
+(src/include/progress_bar.h:25-74, called under omp critical from
+raytracer.cpp:107-115); compiled lock-step batches complete as a unit, so
+progress here is per phase/chunk — used by the phase-dispatched compaction
+driver (ops.trace_compacted(progress=True)), the app-level phase reporter
+(``app_phase``) and apps looping over launch radii
+(apps/return_radiation.py).
 """
 
 from __future__ import annotations
 
+import contextlib
+import os
 import shutil
 import sys
 import time
 
 
 class ProgressBar:
+    """In-place terminal bar on a TTY; plain progress lines otherwise (the
+    reference's ioctl-width bar is TTY-only, but apps here also run under
+    drivers capturing stderr — silence there would be no progress at all).
+    """
+
     def __init__(self, total: int, label: str = "", enabled: bool = True):
         self.total = max(total, 1)
         self.label = label
-        self.enabled = enabled and sys.stderr.isatty()
+        self.enabled = enabled
+        self.tty = sys.stderr.isatty()
         self.t0 = time.time()
 
-    def show(self, done: int):
+    def show(self, done: int, extra: str = ""):
         if not self.enabled:
             return
-        width = max(shutil.get_terminal_size((80, 20)).columns - 30, 10)
         frac = min(done / self.total, 1.0)
-        filled = int(frac * width)
-        bar = "=" * filled + ">" + " " * (width - filled)
-        sys.stderr.write(
-            f"\r{self.label} [{bar}] {100*frac:5.1f}% ({time.time()-self.t0:.1f}s)"
-        )
+        suffix = f" [{extra}]" if extra else ""
+        if self.tty:
+            width = max(shutil.get_terminal_size((80, 20)).columns - 34, 10)
+            filled = int(frac * width)
+            bar = "=" * filled + ">" + " " * (width - filled)
+            sys.stderr.write(
+                f"\r{self.label} [{bar}] {100 * frac:5.1f}% "
+                f"({time.time() - self.t0:.1f}s){suffix}"
+            )
+        else:
+            sys.stderr.write(
+                f"{self.label}: {100 * frac:5.1f}% "
+                f"({time.time() - self.t0:.1f}s){suffix}\n"
+            )
         sys.stderr.flush()
 
     def done(self):
         if self.enabled:
             self.show(self.total)
-            sys.stderr.write("\n")
+            if self.tty:
+                sys.stderr.write("\n")
+                sys.stderr.flush()
+
+
+@contextlib.contextmanager
+def app_phase(label: str):
+    """Coarse per-phase progress for the apps: announce a phase (source
+    build / march / reduction / output), report its wall time on exit, and
+    — with RT_PROFILE=<dir> in the environment — capture a jax.profiler
+    trace of the phase into <dir>/<label> (open in TensorBoard/xprof;
+    SURVEY §5's TPU-native profiling equivalent)."""
+    logdir = os.environ.get("RT_PROFILE")
+    t0 = time.time()
+    sys.stderr.write(f"[{label}] ...\n")
+    sys.stderr.flush()
+    if logdir:
+        import jax
+
+        with jax.profiler.trace(os.path.join(logdir, label.replace(" ", "_"))):
+            yield
+    else:
+        yield
+    sys.stderr.write(f"[{label}] {time.time() - t0:.2f}s"
+                     + (f" (profile -> {logdir})" if logdir else "") + "\n")
+    sys.stderr.flush()

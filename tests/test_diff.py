@@ -210,6 +210,103 @@ def test_height_secant_matches_reference_finite_differences():
     assert rel.max() < 0.25, f"height secant devs: {rel}"
 
 
+def test_line_profile_gradients_match_finite_differences():
+    """d(line profile)/d(spin, incl) through the full image pipeline
+    (VERDICT r3 #4): autodiff of the smooth energy-kernel profile vs
+    central finite differences of the same forward. With the stop-gradded
+    hit mask and the chaos-weight suppression, FD at delta = 1e-4 is
+    membership-stable on well-populated energy bins; tolerance covers the
+    FD truncation + the masked-march controller noise (the single-ray
+    machine-precision layer is the tests above — this is the ensemble
+    observable)."""
+    from raytrace_tpu.ops.diff import line_profile_observable
+    from raytrace_tpu.sources import ImagePlaneGrid
+
+    grid = ImagePlaneGrid.from_steps(-11.0, 11.0, 1.0, -11.0, 11.0, 1.0)
+    prof = lambda a, i: line_profile_observable(
+        a, i, grid, dist=100.0, r_disc=15.0, n_steps=1536
+    )
+    p0 = np.asarray(prof(SPIN, 55.0))
+    assert p0.sum() > 0
+    # the broad-line shape: populated over a wide band, skewed (red wing)
+    pop = p0 > 0.05 * p0.max()
+    assert pop.sum() >= 10
+
+    d_spin = np.asarray(jax.jacfwd(prof, argnums=0)(SPIN, 55.0))
+    d_incl = np.asarray(jax.jacfwd(prof, argnums=1)(SPIN, 55.0))
+    assert np.isfinite(d_spin).all() and np.isfinite(d_incl).all()
+
+    d = 1e-4
+
+    def fd_pair(fn):
+        f1 = (np.asarray(fn(d)) - np.asarray(fn(-d))) / (2 * d)
+        f2 = (np.asarray(fn(2 * d)) - np.asarray(fn(-2 * d))) / (4 * d)
+        return f1, f2
+
+    fd_spin, fd_spin2 = fd_pair(lambda e: prof(SPIN + e, 55.0))
+    fd_incl, fd_incl2 = fd_pair(lambda e: prof(SPIN, 55.0 + e))
+
+    # judge bins with real signal, real sensitivity AND a CONVERGED finite
+    # difference (d vs 2d windows agreeing <5%): bins whose FD moves with
+    # the window are dominated by discrete membership flips (ISCO-edge
+    # rays entering/leaving the stop-gradded hit mask) — the term the
+    # count-gated reference methodology excludes (SURVEY §4)
+    for ad, fd, fd2 in ((d_spin, fd_spin, fd_spin2),
+                        (d_incl, fd_incl, fd_incl2)):
+        sens = np.abs(fd) > 1e-3 * np.abs(fd).max()
+        conv = np.abs(fd - fd2) <= 0.05 * np.maximum(np.abs(fd2), 1e-30)
+        gate = pop & sens & conv
+        assert gate.sum() >= 8
+        rel = np.abs(ad[gate] / fd[gate] - 1.0)
+        assert np.median(rel) < 0.02, rel
+        assert rel.max() < 0.25, rel
+
+
+def test_line_profile_secant_matches_forward_pipeline():
+    """Ensemble cross-validation: the differentiable profile's spin secant
+    over a finite window must match the secant of the INDEPENDENT forward
+    image pipeline (apps compute() -> line_profile_from_maps: different
+    integrator driver, hard histogram instead of the smooth kernel),
+    integrated over the line band. Pins that the differentiable observable
+    tracks the same physics the golden-tested image app computes."""
+    from raytrace_tpu.apps.imageplane_disc_image import compute
+    from raytrace_tpu.apps.line_profile import line_profile_from_maps
+    from raytrace_tpu.ops.diff import line_profile_observable
+    from raytrace_tpu.sources import ImagePlaneGrid
+
+    grid = ImagePlaneGrid.from_steps(-11.0, 11.0, 1.0, -11.0, 11.0, 1.0)
+    D = 0.02
+
+    def band_mean_energy(prof, energies):
+        return float((prof * energies).sum() / prof.sum())
+
+    energies = np.linspace(0.3, 1.3, 48)
+    e_diff = []
+    e_app = []
+    for a in (SPIN - D, SPIN + D):
+        p = np.asarray(line_profile_observable(
+            a, 55.0, grid, dist=100.0, r_disc=15.0, n_steps=1536,
+            energies=jnp.asarray(energies),
+        ))
+        e_diff.append(band_mean_energy(p, energies))
+        maps = compute(a, 100.0, 55.0, grid, 15.0, q1=3.0, q2=3.0, q3=3.0,
+                       method="rk4", steplim=20000)
+        cen, prof = line_profile_from_maps(
+            maps["flux"], maps["enshift"], maps["counts"], e_rest=1.0,
+            n_en=48, e0=0.3, e1=1.3,
+        )
+        e_app.append(band_mean_energy(prof, cen))
+
+    # the line's mean observed energy and its spin response agree between
+    # the two pipelines (smooth kernel vs histogram folding broadens the
+    # profile differently; the band mean is the robust comparator)
+    np.testing.assert_allclose(e_diff[0], e_app[0], rtol=0.02)
+    sec_diff = (e_diff[1] - e_diff[0]) / (2 * D)
+    sec_app = (e_app[1] - e_app[0]) / (2 * D)
+    assert np.sign(sec_diff) == np.sign(sec_app)
+    np.testing.assert_allclose(sec_diff, sec_app, rtol=0.5)
+
+
 def test_disc_area_gradient_finite():
     """d(bin areas)/d(spin) must be finite for bins on both sides of the
     ISCO: the Keplerian and plunge frames are each invalid on the other's

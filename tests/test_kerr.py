@@ -5,6 +5,7 @@ horizon r = 1 + sqrt(1 - a^2), Bardeen ISCO values, null condition
 g_munu p^mu p^nu = 0, tetrad orthonormality, Schwarzschild limits.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -48,6 +49,33 @@ def test_isco_known_values():
     np.testing.assert_allclose(isco_radius(1.0, -1), 9.0, atol=1e-5)
     # a = 0.998 (Thorne limit): prograde ISCO ~ 1.237 (standard value)
     np.testing.assert_allclose(isco_radius(0.998), 1.237, atol=1e-3)
+
+
+def test_isco_gradient_all_spin_scales():
+    """d(r_isco)/da must stay accurate through the small-spin cancellation.
+
+    u = 3 - z1 ~ (8/9)a^2 cancels catastrophically below a ~ 1e-7 in f64;
+    the custom JVP switches to the exact series there. Regression for the
+    round-3 advisor finding (grad(1e-8) was ~ -1e23). Truth values from a
+    50-digit mpmath evaluation of the Bardeen formula's derivative.
+    """
+    truth = {
+        1e-12: -3.2659863266,
+        1e-08: -3.2659863315,
+        1e-04: -3.2660641074,
+        1e-02: -3.2738235710,
+        0.5: -3.9147888034,
+        0.998: -46.0004040327,
+    }
+    for a, want in truth.items():
+        got = float(jax.grad(isco_radius)(jnp.float64(a)))
+        np.testing.assert_allclose(got, want, rtol=1e-8, err_msg=f"a={a}")
+    # a = 0 keeps the symmetric subgradient 0 of the even parametrization
+    assert float(jax.grad(isco_radius)(jnp.float64(0.0))) == 0.0
+    # f32 path: finite and sane at every scale (no floor blowup)
+    for a in [0.0, 1e-6, 1e-3, 0.3]:
+        g = float(jax.grad(isco_radius)(jnp.float32(a)))
+        assert np.isfinite(g) and abs(g) < 50.0
 
 
 def test_keplerian_omega_schwarzschild():
