@@ -202,7 +202,15 @@ def main_pointsource_mapper(argv=None):
                        ("NRAYS", avg["count"]), ("VOLUME", vol)]:
         fits.write_image(np.nan_to_num(data, nan=0.0), extname=name, transpose=False)
     fits.close()
-    print(f"wrote {outfile} and {outfile}.npz")
+    extra = ""
+    try:
+        from raytrace_tpu.ops.mapper import save_hdf
+
+        save_hdf(outfile + ".h5", mgrid, avg, vol, n_rays=grid.n_rays)
+        extra = f", {outfile}.h5"
+    except ImportError:  # h5py-less installs keep NPZ + FITS
+        pass
+    print(f"wrote {outfile} and {outfile}.npz{extra}")
     return 0
 
 

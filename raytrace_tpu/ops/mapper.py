@@ -242,3 +242,57 @@ def average_maps(maps: dict) -> dict:
             "redshift": np.asarray(maps["redshift"]) / count,
             "count": count,
         }
+
+
+def save_hdf(path, grid: MapperGrid, avg: dict, volume, n_rays=None):
+    """HDF5 export with the reference's exact layout (mapper.h:75-107):
+    datasets ``time`` / ``redshift`` / ``Nrays`` / ``volume`` of shape
+    (n_r, n_theta, n_phi), plus the grid geometry as root attributes
+    (r0, rmax, Nr, dr, logbin_r, theta_max, Ntheta, dtheta, Nphi, dphi).
+    Uses h5py (present on this image; only the C++ headers are absent).
+    """
+    import h5py
+    import numpy as np
+
+    with h5py.File(path, "w") as f:
+        f.attrs["r0"] = float(grid.r0)
+        f.attrs["rmax"] = float(grid.r_max)
+        f.attrs["Nr"] = int(grid.n_r)
+        f.attrs["dr"] = float(grid.dr)
+        f.attrs["logbin_r"] = int(grid.logbin_r)
+        f.attrs["theta_max"] = float(grid.theta_max)
+        f.attrs["Ntheta"] = int(grid.n_theta)
+        f.attrs["dtheta"] = float(grid.dtheta)
+        f.attrs["Nphi"] = int(grid.n_phi)
+        f.attrs["dphi"] = float(grid.dphi)
+        if n_rays is not None:
+            f.attrs["n_rays"] = int(n_rays)
+        f.create_dataset("time", data=np.nan_to_num(np.asarray(avg["time"], np.float64)))
+        f.create_dataset("redshift", data=np.nan_to_num(np.asarray(avg["redshift"], np.float64)))
+        f.create_dataset("Nrays", data=np.asarray(avg["count"], np.float64))
+        f.create_dataset("volume", data=np.asarray(volume, np.float64))
+
+
+def load_hdf(path):
+    """Read a save_hdf file back: (MapperGrid, {time, redshift, count},
+    volume)."""
+    import h5py
+    import numpy as np
+
+    with h5py.File(path, "r") as f:
+        grid = MapperGrid(
+            r0=float(f.attrs["r0"]),
+            r_max=float(f.attrs["rmax"]),
+            n_r=int(f.attrs["Nr"]),
+            n_theta=int(f.attrs["Ntheta"]),
+            n_phi=int(f.attrs["Nphi"]),
+            logbin_r=bool(f.attrs["logbin_r"]),
+            theta_max=float(f.attrs["theta_max"]),
+        )
+        avg = {
+            "time": np.asarray(f["time"]),
+            "redshift": np.asarray(f["redshift"]),
+            "count": np.asarray(f["Nrays"]),
+        }
+        volume = np.asarray(f["volume"])
+    return grid, avg, volume

@@ -43,10 +43,21 @@ def _sanitize(rays: RayBatch) -> RayBatch:
 
 
 def _orbit_et(r, theta, a, V):
-    """Timelike tetrad leg of an observer orbiting at Omega = V."""
+    """Timelike tetrad leg of an observer orbiting at Omega = V.
+
+    The Lorentz-factor argument 1 - dv^2 e2psi/e2nu goes negative where
+    the requested orbit is spacelike (r below the photon circular-orbit
+    radius — equator crossers on their way into the horizon). Those rays'
+    redshifts are meaningless and every hit mask excludes them
+    (r_ph < r_isco for all spins), but an unclamped sqrt(negative) is NaN
+    in the PRIMAL, and reverse-mode AD then poisons shared cotangents
+    through the masked branch (0 * NaN): clamp to the dtype tiny so both
+    the value and its adjoint stay finite garbage instead."""
     g = metric_coeffs(r, theta, a)
     dv = V - g.omega
-    gamma = 1.0 / jnp.sqrt(1.0 - dv * dv * g.e2psi / g.e2nu)
+    arg = 1.0 - dv * dv * g.e2psi / g.e2nu
+    tiny = jnp.asarray(jnp.finfo(jnp.result_type(arg)).tiny, jnp.result_type(arg))
+    gamma = 1.0 / jnp.sqrt(jnp.maximum(arg, tiny))
     ut = gamma / jnp.sqrt(g.e2nu)
     zero = jnp.zeros_like(ut)
     return g, (ut, zero, zero, ut * V)
@@ -120,7 +131,12 @@ def ray_redshift(
             rs.r * rs.r + spin * spin
         )
         Vr = jnp.where(V < 0, jnp.abs(V) * spd, V)
-        ut = 1.0 / jnp.sqrt(g.g_tt + g.g_rr * Vr * Vr)
+        # same clamp rationale as _orbit_et: the radial frame is spacelike
+        # inside the ergosphere for large |V|; keep value/adjoint finite
+        arg = g.g_tt + g.g_rr * Vr * Vr
+        tiny = jnp.asarray(jnp.finfo(jnp.result_type(arg)).tiny,
+                           jnp.result_type(arg))
+        ut = 1.0 / jnp.sqrt(jnp.maximum(arg, tiny))
         zero = jnp.zeros_like(ut)
         et = (ut, Vr * ut, zero, zero)
     recv = _energy_in_frame(rs, spin, et, g, reverse)
