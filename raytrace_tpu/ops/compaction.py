@@ -29,7 +29,7 @@ _BN16 = 16 * 128
 _BN8 = 8 * 128
 
 
-def auto_schedule(n: int, total: int, open_iters: int = 832, rows: int = 32,
+def auto_schedule(n: int, total: int, open_iters: int = 1536, rows: int = 32,
                   unroll: int = 4):
     """Static compaction schedule: (iters, width, rows, unroll) per phase.
 
@@ -44,24 +44,23 @@ def auto_schedule(n: int, total: int, open_iters: int = 832, rows: int = 32,
     profiler trace (analysis/profiles/rk4_march_tpu): each lane-exact
     gather costs milliseconds on TPU, while a RETIRED block in a
     full-width phase costs only its own loop-condition check — the Pallas
-    grid is already a free block-granular compactor. So the opening
-    full-width phase runs to 832 iterations (past the canonical RK4
-    workload's max of 782: its gathers then skip entirely via the
-    ``run_phases`` cond), a mid-width phase catches the adaptive-path p99
-    cluster, and the long stuck-ray tail runs in short (8,128) blocks
-    where each iteration costs half the vregs. Widths carry headroom over
-    the measured survivor counts; a workload that overflows them is
-    drained correctly (if more slowly) by the full-width drain phase
-    appended by ``run_phases``.
+    grid is already a free block-granular compactor. So the schedule is
+    just TWO phases: a full-width opening march long enough to retire the
+    smooth mass of both the fixed-step and adaptive workloads (canonical
+    RK4 max 782 steps, RK45 p99 well under 1536 — measured A/Bs
+    2026-08-21: RK4 1335M steps/s, RK45 483M vs 439M with an extra
+    mid-width phase; its gather never paid for itself), then the long
+    stuck-ray tail in short (8,128) blocks where each iteration costs
+    half the vregs. The opening phase's gather is cond-skipped entirely
+    when nothing survives it. A workload whose survivors overflow the
+    tail width is drained correctly (if more slowly) by the full-width
+    drain phase appended by ``run_phases``.
     """
     full = -(-n // _BN16) * _BN16
-    w2 = -(-int(0.45 * n) // _BN16) * _BN16
     w3 = -(-max(2 * _BN8, n // 24) // _BN8) * _BN8
-    if w2 >= full or n <= 4 * _BN16:
+    if w3 >= full or n <= 4 * _BN16:
         return ((total, None, rows, unroll),)
-    sched = [(open_iters, None, rows, unroll), (2240, w2, rows, unroll)]
-    sched.append((total, w3, 8, 4) if w3 < w2 else (total, w2, rows, unroll))
-    return tuple(sched)
+    return ((open_iters, None, rows, unroll), (total, w3, 8, 4))
 
 
 def compact_gather(out: RayBatch, width: int):

@@ -64,19 +64,17 @@ def app_phase(label: str):
     """Coarse per-phase progress for the apps: announce a phase (source
     build / march / reduction / output), report its wall time on exit, and
     — with RT_PROFILE=<dir> in the environment — capture a jax.profiler
-    trace of the phase into <dir>/<label> (open in TensorBoard/xprof;
-    SURVEY §5's TPU-native profiling equivalent)."""
+    trace of the phase into <dir>/<label> via utils.profiling.profile_trace
+    (open in TensorBoard/xprof; SURVEY §5's TPU-native profiling
+    equivalent — the trace that exposed the round-4 compaction-gather
+    bottleneck, analysis/profiles/rk4_march_tpu)."""
+    from raytrace_tpu.utils.profiling import profile_trace
+
     logdir = os.environ.get("RT_PROFILE")
-    t0 = time.time()
     sys.stderr.write(f"[{label}] ...\n")
     sys.stderr.flush()
-    if logdir:
-        import jax
-
-        with jax.profiler.trace(os.path.join(logdir, label.replace(" ", "_"))):
-            yield
-    else:
+    with profile_trace(
+        os.path.join(logdir, label.replace(" ", "_")) if logdir else None,
+        label=label,
+    ):
         yield
-    sys.stderr.write(f"[{label}] {time.time() - t0:.2f}s"
-                     + (f" (profile -> {logdir})" if logdir else "") + "\n")
-    sys.stderr.flush()
