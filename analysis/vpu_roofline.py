@@ -9,13 +9,21 @@ reports the idealized step ceiling it implies.
 
 Measured (TPU v5e, 2026-08-21): 6.67G rates-equivalent/s, i.e. an
 idealized ~1.67G RK4 steps/s if a step were exactly 4 rates bodies.
-Against the kernel's benched 720M steps/s, and charging the real step's
+Against the kernel's benched 1.32G steps/s, and charging the real step's
 extra work (4-stage state combination, adaptive step heuristic,
 sign-flip/termination bookkeeping — roughly 1-1.5 further rates-bodies of
-VPU work), the kernel runs at ~55-60% of the transcendental roofline; the
-remainder is masked-lane retirement granularity (a block keeps stepping
-until its slowest lane finishes — bounded by the compaction schedule) and
-Mosaic loop overhead.
+VPU work), the kernel runs at ~85-90% of the transcendental roofline.
+
+History: at round 3's 720M steps/s this script attributed the ~40-45%
+residual to masked-lane retirement granularity. The round-4 profiler
+trace (analysis/profiles/rk4_march_tpu) showed the truth: the residual
+was mostly the compaction gathers (jnp.nonzero lowering to serialised
+TPU scatters, 10.4 ms each = 36% of the march) plus an unnecessary
+mid-width phase; fixing those took the kernel to 1.32G. Retirement waste
+itself is small — the measured per-block iteration overhead of natural
+grid order is only 1.17x useful steps, with an oracle lifetime-sort
+ceiling of 1.07x (analysis/lifetime_sort_study.py, hardware-confirmed
+negative result for sorting).
 
 Usage:  python -m analysis.vpu_roofline
 """

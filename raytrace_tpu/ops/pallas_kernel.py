@@ -56,8 +56,19 @@ from raytrace_tpu.rays import RAY_STATUS_NUMERIC, RAY_STATUS_STEPLIM, RayBatch
 import os as _os
 
 _ROWS = int(_os.environ.get("RT_PALLAS_ROWS", "32"))
+# RK45's larger body amortises issue over more vregs: under the unified
+# two-phase schedule (2026-08-21 re-sweep) rk45 measured 414M/481M/494M
+# steps/s at 16/32/64 rows vs rk4's 1139M/1339M/1289M -> per-method
+# defaults. RT_PALLAS_ROWS_RK45 re-A/Bs the adaptive path independently.
+_ROWS_RK45 = int(_os.environ.get("RT_PALLAS_ROWS_RK45", "64"))
 _BLOCK = (_ROWS, 128)
 _BLOCK_N = _BLOCK[0] * _BLOCK[1]
+
+
+def _method_rows(method):
+    return _ROWS_RK45 if method == "rk45" else _ROWS
+
+
 # Body sub-steps per while iteration (fewer cond reductions): measured on
 # v5e at 32 rows — RK4 unroll 2: 713M, 4: 720M; RK45 unroll 1: 381M,
 # 2: 358M, 4: 392M steps/s -> default 4.
@@ -266,7 +277,7 @@ def trace_pallas(
     if max_iters is None:
         max_iters = steplim + steplim // 4 + 16
     if rows is None:
-        rows = _ROWS
+        rows = _method_rows(method)
     if unroll is None:
         unroll = _UNROLL
 
@@ -380,7 +391,7 @@ def trace_pallas_phased(
         dest = ThetaLimit(jnp.pi / 2)
     total = steplim + steplim // 4 + 16
     if schedule is None:
-        schedule = auto_schedule(rays.n_rays, total, rows=_ROWS, unroll=_UNROLL)
+        schedule = auto_schedule(rays.n_rays, total, rows=_method_rows(method), unroll=_UNROLL)
     horizon = horizon_radius(spin) if boundary is None else boundary
     out = rays.replace(
         r_was_positive=jnp.zeros_like(rays.r_was_positive),
@@ -441,7 +452,7 @@ def trace_pallas_fused(
         # rows/unroll from the module tunables so RT_PALLAS_ROWS/_UNROLL
         # reach the fused production path (the one trace_auto routes to),
         # not just bare trace_pallas — kernel_sweep A/Bs this path.
-        schedule = auto_schedule(rays.n_rays, total, rows=_ROWS, unroll=_UNROLL)
+        schedule = auto_schedule(rays.n_rays, total, rows=_method_rows(method), unroll=_UNROLL)
     return _trace_pallas_fused_jit(
         rays, spin, dest, boundary,
         method=method, schedule=tuple(tuple(p) for p in schedule),

@@ -99,3 +99,83 @@ def test_caustic_bundles_f32_at_dist_1000():
     rel = np.abs(d32[ok] / d64[ok] - 1)
     assert np.median(rel) < 0.05, f"det_j median {np.median(rel):.3f}"
     assert (np.sign(d32[ok]) == np.sign(d64[ok])).mean() > 0.97
+
+
+def test_emissivity_f32_bins_match_f64():
+    """f32 lamppost emissivity bins vs f64, count-gated with the
+    reference's statistical methodology (emissivity_rk45_test.cpp:57-63):
+    the TPU's production f32 arithmetic must land the same rays in the
+    same well-populated radial bins with sub-percent binned observables.
+    Complements analysis/tpu_validation.py (same comparison vs the
+    reference binary, on hardware) with a hermetic CPU version."""
+    import jax
+
+    from raytrace_tpu.apps.emissivity import disc_hit_mask
+    from raytrace_tpu.ops import trace
+    from raytrace_tpu.ops.redshift import apply_redshift, range_phi, redshift_start
+    from raytrace_tpu.ops.reductions import bin_edges, radial_bin_profile
+    from raytrace_tpu.sources import PointSourceGrid, point_source
+
+    grid = PointSourceGrid.from_steps(0.05, 0.05)
+    rays64 = point_source((0.0, 5.0, 1e-3, 0.0), V=0.0, spin=SPIN, grid=grid)
+    rays32 = jax.tree.map(
+        lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a,
+        rays64,
+    )
+
+    r_min, r_disc, n_r = 1.25, 500.0, 50
+    _, _, dr = bin_edges(r_min, r_disc, n_r, True)
+
+    def bins(rays, dtype):
+        s = jnp.asarray(SPIN, dtype)
+        rays = redshift_start(rays, s, V=0.0)
+        out = trace(rays, s, method="rk45", r_max=1000.0, steplim=40000)
+        out = range_phi(out)
+        out = apply_redshift(out, s, V=-1.0)
+        mask = disc_hit_mask(out, s)
+        g = jnp.where(mask, out.redshift, 1.0)
+        counts, sums = radial_bin_profile(
+            out.r, mask, {"emis": 1.0 / g**2, "g": g}, r_min, float(dr),
+            n_r, True,
+        )
+        return np.asarray(counts), {k: np.asarray(v) for k, v in sums.items()}
+
+    c32, s32 = bins(rays32, jnp.float32)
+    c64, s64 = bins(rays64, jnp.float64)
+
+    assert abs(c32.sum() - c64.sum()) <= 0.005 * c64.sum()
+    gate = (c32 >= 100) & (c64 >= 100) & (np.abs(c32 - c64) <= 0.1 * c64)
+    assert gate.sum() >= 12
+    emis32 = s32["emis"][gate] / c32[gate]
+    emis64 = s64["emis"][gate] / c64[gate]
+    assert np.abs(emis32 / emis64 - 1).max() < 0.10
+    g32 = s32["g"][gate] / c32[gate]
+    g64 = s64["g"][gate] / c64[gate]
+    assert np.abs(g32 / g64 - 1).max() < 0.005
+
+
+def test_f32_gradients_finite_and_track_f64():
+    """The differentiable march in f32 (what a TPU-resident fitting loop
+    would run): gradients must stay finite and track the f64 values to the
+    f32 ensemble noise level for the smooth emissivity observable."""
+    import jax
+
+    from raytrace_tpu.ops.diff import emissivity_gradient_pipeline
+    from raytrace_tpu.sources import PointSourceGrid
+
+    grid = PointSourceGrid.from_steps(0.3, 0.3, -0.9, 0.9, -3.0, 3.0)
+    f = lambda s, h, g: emissivity_gradient_pipeline(
+        s, h, g, grid, n_steps=1024, r0=4.0, r_max=50.0
+    )
+    v64, g64 = jax.value_and_grad(f, argnums=(0, 1, 2))(0.9, 5.0, 2.0)
+    v32, g32 = jax.value_and_grad(f, argnums=(0, 1, 2))(
+        jnp.float32(0.9), jnp.float32(5.0), jnp.float32(2.0)
+    )
+    assert np.isfinite(float(v32))
+    np.testing.assert_allclose(float(v32), float(v64), rtol=0.02)
+    for a, b in zip(g32, g64):
+        assert np.isfinite(float(a))
+        # chaotic-ensemble f32 gradients carry percent-level noise; sign
+        # and magnitude must hold
+        assert np.sign(float(a)) == np.sign(float(b))
+        np.testing.assert_allclose(float(a), float(b), rtol=0.15)
