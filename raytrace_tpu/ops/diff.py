@@ -102,16 +102,17 @@ def trace_scan(
     n_chunks = -(-n_steps // checkpoint_every)
 
     def one_step(carry, _):
-        st, step = carry
-        active = st.active
         if method == "rk45":
-            st, step = _rk45_body(
-                st, spin, horizon, dest, r_max, steplim, ctrl, active, step
+            st, step, rates = carry
+            st, step, rates = _rk45_body(
+                st, spin, horizon, dest, r_max, steplim, ctrl, st.active,
+                step, rates,
             )
-        else:
-            st, _unused = _euler_rk4_body(
-                st, spin, horizon, dest, r_max, steplim, ctrl, method, active
-            )
+            return (st, step, rates), None
+        st, step = carry
+        st, _unused = _euler_rk4_body(
+            st, spin, horizon, dest, r_max, steplim, ctrl, method, st.active
+        )
         return (st, step), None
 
     # outer scan of rematerialised chunks, inner scan of steps: the forward
@@ -123,7 +124,14 @@ def trace_scan(
         carry, _ = lax.scan(one_step, carry, None, length=checkpoint_every)
         return carry, None
 
-    (final, step_f), _ = lax.scan(chunk, (rays, rays.dt), None, length=n_chunks)
+    from raytrace_tpu.ops.integrate import _seed_rk45_rates
+
+    if method == "rk45":
+        init = (rays, rays.dt, _seed_rk45_rates(rays, rays.active, spin))
+    else:
+        init = (rays, rays.dt)
+    carry_f, _ = lax.scan(chunk, init, None, length=n_chunks)
+    final, step_f = carry_f[0], carry_f[1]
     final = final.replace(dt=step_f)
 
     stuck = (

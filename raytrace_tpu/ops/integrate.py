@@ -111,7 +111,7 @@ _E1, _E3, _E4, _E5, _E6, _E7 = (
 )
 
 
-def _k1_stage(st: RayBatch, spin):
+def _k1_stage(st: RayBatch, spin, rates=None):
     """First-stage momenta with the turning-point sign bookkeeping.
 
     Returns (updated signs/gates/flip info, stage momenta). A lane where the
@@ -119,8 +119,21 @@ def _k1_stage(st: RayBatch, spin):
     *skips this step entirely* — the reference's ``continue``
     (raytracer.cpp:196-201); everything downstream must mask on
     ``~theta_flip``.
+
+    ``rates`` is the optional FSAL carry: GeodesicRates already evaluated
+    at this lane's CURRENT position (a rejected trial's k1, or an accepted
+    trial's k7 — DOPRI5's first-same-as-last property). Reusing it skips
+    one of the seven stage evaluations per RK45 iteration. The carried
+    values are bitwise what a fresh evaluation would produce: everything
+    except pr/ptheta is sign-independent, pr is re-signed below (abs *
+    rdot_sign, as always), and ptheta is re-signed here against the lane's
+    current polar sign (geodesic_rates computes sqrt(...) * sign, so
+    |carried| * current_sign == recomputed).
     """
-    rates = geodesic_rates(st.r, st.theta, st.k, st.h, st.Q, st.rdot_sign, st.thetadot_sign, spin)
+    if rates is None:
+        rates = geodesic_rates(st.r, st.theta, st.k, st.h, st.Q, st.rdot_sign, st.thetadot_sign, spin)
+    else:
+        rates = rates._replace(ptheta=jnp.abs(rates.ptheta) * st.thetadot_sign)
 
     theta_flip = (rates.thetadot_sq < 0) & st.theta_was_positive
     thetadot_sign = jnp.where(theta_flip, -st.thetadot_sign, st.thetadot_sign)
@@ -415,7 +428,12 @@ def _euler_rk4_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, meth
     ), None
 
 
-def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active, step):
+def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active,
+               step, rates=None):
+    """One lock-step DOPRI5 iteration. With a ``rates`` FSAL carry (see
+    _k1_stage and _seed_rk45_rates) the return value is
+    (st, step, rates_next); legacy callers passing no carry get (st, step)
+    and pay the k1 recomputation."""
     st_eval = _safe_eval_state(st, active)
     (
         theta_flip,
@@ -429,7 +447,7 @@ def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active, s
         ptheta1,
         pphi1,
         rates1,
-    ) = _k1_stage(st_eval, spin)
+    ) = _k1_stage(st_eval, spin, rates)
 
     advance = active & ~theta_flip
     status = _nonphysical_status(st_eval, spin, pt1, pphi1, advance, rates1)
@@ -495,7 +513,10 @@ def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active, s
 
     th_new, phi_new, thetadot_sign_r = _polar_reflect(th_new_raw, phi_new, thetadot_sign)
 
-    pt7, pr7, pth7, pph7 = stage(r_new, th_new)
+    # FSAL stage k7 at the new point, as full GeodesicRates so accepted
+    # lanes can carry it forward as the next iteration's k1
+    rates7 = geodesic_rates(r_new, th_new, k, h, Q, rdot_sign, thetadot_sign, spin)
+    pt7, pr7, pth7, pph7 = rates7.pt, rates7.pr, rates7.ptheta, rates7.pphi
 
     err_r = h_try * (_E1 * pr1 + _E3 * pr3 + _E4 * pr4 + _E5 * pr5 + _E6 * pr6 + _E7 * pr7)
     err_th = h_try * (
@@ -560,7 +581,25 @@ def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active, s
         signs,
         (counted, r_flip),
     )
-    return st, new_step
+    if rates is None:
+        return st, new_step
+    # FSAL carry: accepted lanes' k7 is exactly the next k1; every other
+    # lane (rejected trial, flip-skip, frozen) keeps its current-position
+    # rates — both choices are bitwise what the next iteration would
+    # recompute.
+    rates_next = jax.tree.map(
+        lambda a, b: jnp.where(accept, a, b), rates7, rates1
+    )
+    return st, new_step, rates_next
+
+
+def _seed_rk45_rates(st: RayBatch, active, spin):
+    """Seed the DOPRI5 FSAL carry: GeodesicRates at each lane's current
+    (safe-evaluated) position — what the first iteration's k1 stage would
+    compute."""
+    se = _safe_eval_state(st, active)
+    return geodesic_rates(se.r, se.theta, se.k, se.h, se.Q, se.rdot_sign,
+                          se.thetadot_sign, spin)
 
 
 def _seed_rk45_step(st: RayBatch, spin, horizon, ctrl):
@@ -641,22 +680,34 @@ def trace(
             rays = rays.replace(dt=_seed_rk45_step(rays, spin, horizon, ctrl))
 
     def cond(carry):
-        st, _, it = carry
+        st = carry[0]
+        it = carry[2]
         return jnp.any(st.active) & (it < max_iters)
 
     def body(carry):
+        if method == "rk45":
+            st, step, it, rates = carry
+            for _ in range(unroll):
+                st, step, rates = _rk45_body(
+                    st, spin, horizon, dest, r_max, steplim, ctrl, st.active,
+                    step, rates,
+                )
+            return st, step, it + unroll, rates
         st, step, it = carry
         for _ in range(unroll):
-            active = st.active
-            if method == "rk45":
-                st, step = _rk45_body(st, spin, horizon, dest, r_max, steplim, ctrl, active, step)
-            else:
-                st, _ = _euler_rk4_body(
-                    st, spin, horizon, dest, r_max, steplim, ctrl, method, active
-                )
+            st, _ = _euler_rk4_body(
+                st, spin, horizon, dest, r_max, steplim, ctrl, method, st.active
+            )
         return st, step, it + unroll
 
-    final, step_f, _ = lax.while_loop(cond, body, (rays, rays.dt, jnp.asarray(0, jnp.int32)))
+    if method == "rk45":
+        init = (rays, rays.dt, jnp.asarray(0, jnp.int32),
+                _seed_rk45_rates(rays, rays.active, spin))
+        final, step_f = lax.while_loop(cond, body, init)[:2]
+    else:
+        final, step_f, _ = lax.while_loop(
+            cond, body, (rays, rays.dt, jnp.asarray(0, jnp.int32))
+        )
     final = final.replace(dt=step_f)
 
     # Stuck rays get their step count negated so downstream steps > 0 filters

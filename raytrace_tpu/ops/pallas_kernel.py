@@ -56,11 +56,13 @@ from raytrace_tpu.rays import RAY_STATUS_NUMERIC, RAY_STATUS_STEPLIM, RayBatch
 import os as _os
 
 _ROWS = int(_os.environ.get("RT_PALLAS_ROWS", "32"))
-# RK45's larger body amortises issue over more vregs: under the unified
-# two-phase schedule (2026-08-21 re-sweep) rk45 measured 414M/481M/494M
-# steps/s at 16/32/64 rows vs rk4's 1139M/1339M/1289M -> per-method
-# defaults. RT_PALLAS_ROWS_RK45 re-A/Bs the adaptive path independently.
-_ROWS_RK45 = int(_os.environ.get("RT_PALLAS_ROWS_RK45", "64"))
+# RK45's block height is swept independently (RT_PALLAS_ROWS_RK45): the
+# adaptive body is larger and carries the FSAL rates, so its VMEM/issue
+# balance differs from RK4's. Measured under the unified two-phase
+# schedule (v5e 2026-08-21): pre-FSAL 414/481/494M steps/s at 16/32/64
+# rows; with the FSAL carry 524M @ 32 vs 503M @ 64 (the extra carried
+# arrays favour the smaller block) -> default 32.
+_ROWS_RK45 = int(_os.environ.get("RT_PALLAS_ROWS_RK45", "32"))
 _BLOCK = (_ROWS, 128)
 _BLOCK_N = _BLOCK[0] * _BLOCK[1]
 
@@ -142,7 +144,8 @@ def _make_kernel(method, dest_kind, ctrl: StepControl, unroll: int):
             )
 
         def cond(carry):
-            st, step, it = carry
+            st = carry[0]
+            it = carry[2]
             # int32 max-reduction instead of jnp.any: Mosaic routes boolean
             # reductions through f64 under jax_enable_x64 and then refuses
             # to scalarise them
@@ -150,27 +153,39 @@ def _make_kernel(method, dest_kind, ctrl: StepControl, unroll: int):
             return alive & (it < max_iters)
 
         def body(carry):
-            st_i, step, it = carry
-            st = to_bool(st_i)
             # unrolled sub-steps amortise the loop's cond reduction and
             # branch; the active mask is recomputed per sub-step so
             # semantics are unchanged (a retired block just overshoots the
             # cond check by < unroll iterations)
+            if method == "rk45":
+                st_i, step, it, rates = carry
+                st = to_bool(st_i)
+                for _ in range(unroll):
+                    st, step, rates = _rk45_body(
+                        st, spin, horizon, dest, r_max, steplim, ctrl,
+                        st.active, step, rates,
+                    )
+                return to_int(st), step, it + unroll, rates
+            st_i, step, it = carry
+            st = to_bool(st_i)
             for _ in range(unroll):
-                active = st.active
-                if method == "rk45":
-                    st, step = _rk45_body(
-                        st, spin, horizon, dest, r_max, steplim, ctrl, active, step
-                    )
-                else:
-                    st, _ = _euler_rk4_body(
-                        st, spin, horizon, dest, r_max, steplim, ctrl, method, active
-                    )
+                st, _ = _euler_rk4_body(
+                    st, spin, horizon, dest, r_max, steplim, ctrl, method,
+                    st.active,
+                )
             return to_int(st), step, it + unroll
 
-        final, step_f, _ = lax.while_loop(
-            cond, body, (st0, st0.dt, jnp.int32(0))
-        )
+        if method == "rk45":
+            from raytrace_tpu.ops.integrate import _seed_rk45_rates
+
+            init = (st0, st0.dt, jnp.int32(0),
+                    _seed_rk45_rates(to_bool(st0), to_bool(st0).active, spin))
+            out_carry = lax.while_loop(cond, body, init)
+            final, step_f = out_carry[0], out_carry[1]
+        else:
+            final, step_f, _ = lax.while_loop(
+                cond, body, (st0, st0.dt, jnp.int32(0))
+            )
         final = final.replace(dt=step_f)
         stuck = (
         (final.status & (RAY_STATUS_STEPLIM | RAY_STATUS_NUMERIC)) != 0

