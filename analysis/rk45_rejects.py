@@ -37,7 +37,8 @@ from jax import lax
 
 from raytrace_tpu.destinations import ThetaLimit
 from raytrace_tpu.geometry.kerr import horizon_radius
-from raytrace_tpu.ops.integrate import StepControl, _rk45_body, _seed_rk45_step
+from raytrace_tpu.ops.integrate import (StepControl, _rk45_body,
+                                         _seed_rk45_rates, _seed_rk45_step)
 from raytrace_tpu.rays import RayBatch
 
 
@@ -54,15 +55,16 @@ def _march_with_trials(rays: RayBatch, spin, r_max, n_steps: int,
     )
 
     def one(carry, _):
-        st, step, trials = carry
+        st, step, trials, rates = carry
         a = st.active
-        st, step = _rk45_body(
-            st, spin, horizon, dest, r_max, steplim, ctrl, a, step
+        st, step, rates = _rk45_body(
+            st, spin, horizon, dest, r_max, steplim, ctrl, a, step, rates
         )
-        return (st, step, trials + a.astype(jnp.int32)), None
+        return (st, step, trials + a.astype(jnp.int32), rates), None
 
-    init = (rays, rays.dt, jnp.zeros_like(rays.steps))
-    (final, _, trials), _ = lax.scan(one, init, None, length=n_steps)
+    init = (rays, rays.dt, jnp.zeros_like(rays.steps),
+            _seed_rk45_rates(rays, rays.active, spin))
+    (final, _, trials, _), _ = lax.scan(one, init, None, length=n_steps)
     return final, trials
 
 

@@ -65,14 +65,17 @@ def trace_with_history(
         rays = rays.replace(dt=_seed_rk45_step(rays, spin, horizon, ctrl))
 
     def one_step(carry, _):
-        st, step = carry
-        active = st.active
         if method == "rk45":
-            st, step = _rk45_body(st, spin, horizon, dest, r_max, steplim, ctrl, active, step)
-        else:
-            st, _unused = _euler_rk4_body(
-                st, spin, horizon, dest, r_max, steplim, ctrl, method, active
+            st, step, rates = carry
+            st, step, rates = _rk45_body(
+                st, spin, horizon, dest, r_max, steplim, ctrl, st.active,
+                step, rates,
             )
+            return (st, step, rates), None
+        st, step = carry
+        st, _unused = _euler_rk4_body(
+            st, spin, horizon, dest, r_max, steplim, ctrl, method, st.active
+        )
         return (st, step), None
 
     def chunk(carry, _):
@@ -83,7 +86,14 @@ def trace_with_history(
         )
         return carry, snap
 
-    (final, step_f), history = lax.scan(chunk, (rays, rays.dt), None, length=n_snapshots)
+    if method == "rk45":
+        from raytrace_tpu.ops.integrate import _seed_rk45_rates
+
+        init = (rays, rays.dt, _seed_rk45_rates(rays, rays.active, spin))
+    else:
+        init = (rays, rays.dt)
+    carry_f, history = lax.scan(chunk, init, None, length=n_snapshots)
+    final, step_f = carry_f[0], carry_f[1]
     return final.replace(dt=step_f), history
 
 
