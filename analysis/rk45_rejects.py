@@ -1,118 +1,31 @@
-"""RK45 accept/reject observability.
+"""RK45 accept/reject observability — study CLI.
 
-The reference found its worst integrator bug (stuck photon-sphere rays
-burning 10M steps) through a step-count histogram in its perf test
-(/root/reference/src/tests/integrator_perf_test.cpp:119-169). The masked
-lock-step DOPRI5 here has a second hidden cost that plain step counts
-cannot show: *rejected trials* — iterations a lane spends re-attempting a
-step the error controller refused — which consume full 7-stage evaluations
-but advance nothing. This module surfaces them per lane so the RK4 <-> RK45
-throughput ratio can be decomposed into stage-count cost vs rejection
-waste, and so controller/tolerance regressions are visible in BENCH_NOTES.
-
-Method: a fixed-iteration scan over the production `_rk45_body` carrying
-one extra per-lane counter of active iterations. The body increments
-``steps`` only on accepted steps and flip-skips (ops/integrate.py
-``counted``), so per lane::
-
-    trials  = iterations while active
-    rejects = trials - (|steps_final| - |steps_initial|)
-
-No RayBatch field is added: the counter lives in the scan carry only, so
-the production paths (kernel, XLA loop, native) are untouched.
-
-Run as a module for the canonical workload table::
+Core accounting lives in ``raytrace_tpu.ops.diagnostics`` (importable
+from installed console scripts); this script runs the canonical-workload
+sweep table:
 
     python -m analysis.rk45_rejects [tol ...]
+
+Result (2026-08-21, v5e, tol 1e-8, 5040 rays): mean reject fraction
+3.8%, p90 15%, p99 19.5% — rejection waste is minor; the RK4 <-> RK45
+throughput ratio is stage-count (7 vs 4 evals) plus controller ops, not
+rejections. Recorded per round in BENCH_NOTES via bench.py.
 """
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-from jax import lax
-
-from raytrace_tpu.destinations import ThetaLimit
-from raytrace_tpu.geometry.kerr import horizon_radius
-from raytrace_tpu.ops.integrate import (StepControl, _rk45_body,
-                                         _seed_rk45_rates, _seed_rk45_step)
-from raytrace_tpu.rays import RayBatch
-
-
-@partial(jax.jit, static_argnames=("n_steps", "ctrl"))
-def _march_with_trials(rays: RayBatch, spin, r_max, n_steps: int,
-                       ctrl: StepControl):
-    dest = ThetaLimit(jnp.pi / 2)
-    horizon = horizon_radius(spin)
-    steplim = n_steps + 1
-    rays = rays.replace(
-        r_was_positive=rays.r_was_positive & False,
-        theta_was_positive=rays.theta_was_positive | True,
-        dt=_seed_rk45_step(rays, spin, horizon, ctrl),
-    )
-
-    def one(carry, _):
-        st, step, trials, rates = carry
-        a = st.active
-        st, step, rates = _rk45_body(
-            st, spin, horizon, dest, r_max, steplim, ctrl, a, step, rates
-        )
-        return (st, step, trials + a.astype(jnp.int32), rates), None
-
-    init = (rays, rays.dt, jnp.zeros_like(rays.steps),
-            _seed_rk45_rates(rays, rays.active, spin))
-    (final, _, trials, _), _ = lax.scan(one, init, None, length=n_steps)
-    return final, trials
-
-
-def rk45_reject_stats(rays: RayBatch, spin, *, r_max=1000.0, n_steps=8192,
-                      ctrl: StepControl = StepControl()):
-    """Per-lane trial/reject accounting over ``n_steps`` lock-step
-    iterations of the production DOPRI5 body.
-
-    Returns a dict of summary statistics over the lanes that *finished*
-    within the budget (reject fractions of still-running photon-sphere
-    lanes would be dominated by their unfinished tail): p50/p99/mean
-    reject fraction, total trial and reject counts, and the number of
-    unfinished lanes (excluded from the fractions, reported for honesty).
-    """
-    live = np.asarray(rays.steps) == 0
-    final, trials = _march_with_trials(
-        rays, spin, jnp.asarray(r_max, rays.r.dtype), int(n_steps), ctrl
-    )
-    trials = np.asarray(trials).astype(np.int64)
-    moved = np.abs(np.asarray(final.steps)).astype(np.int64) - np.abs(
-        np.asarray(rays.steps)
-    ).astype(np.int64)
-    rejects = trials - moved
-    finished = live & ~np.asarray(final.active)
-    n_fin = int(finished.sum())
-    if n_fin:
-        frac = rejects[finished] / np.maximum(trials[finished], 1)
-        p50, p90, p99 = np.percentile(frac, [50, 90, 99])
-        mean = float(frac.mean())
-    else:  # pragma: no cover - degenerate budget
-        p50 = p90 = p99 = mean = float("nan")
-    return {
-        "n_lanes": int(live.sum()),
-        "n_finished": n_fin,
-        "n_unfinished": int(live.sum()) - n_fin,
-        "trials_total": int(trials[finished].sum()),
-        "rejects_total": int(rejects[finished].sum()),
-        "reject_frac_p50": round(float(p50), 4),
-        "reject_frac_p90": round(float(p90), 4),
-        "reject_frac_p99": round(float(p99), 4),
-        "reject_frac_mean": round(mean, 4),
-    }
+from raytrace_tpu.ops.diagnostics import rk45_reject_stats  # noqa: F401
 
 
 def main(argv=None):
     import sys
 
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from raytrace_tpu.config import apply_platform_overrides
+    from raytrace_tpu.ops.integrate import StepControl
     from raytrace_tpu.sources import PointSourceGrid, point_source
 
     apply_platform_overrides()
@@ -120,8 +33,7 @@ def main(argv=None):
     spin = 0.998
     grid = PointSourceGrid.from_steps(0.05, 0.05)
     rays = point_source((0.0, 5.0, 1e-3, 0.0), V=0.0, spin=spin, grid=grid)
-    on_tpu = jax.default_backend() != "cpu"
-    if on_tpu:
+    if jax.default_backend() != "cpu":
         rays = jax.tree.map(
             lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a,
             rays,

@@ -148,7 +148,7 @@ def bench_once(method):
         # sub-grid (the reference perf-test density) — the fraction is a
         # controller property, not a batch-size one.
         try:
-            from analysis.rk45_rejects import rk45_reject_stats
+            from raytrace_tpu.ops.diagnostics import rk45_reject_stats
             from raytrace_tpu.sources import PointSourceGrid, point_source
 
             sub = point_source(

@@ -132,6 +132,22 @@ def main(argv=None):
         print(f"  steps median/p90/p99/max  {st['median']:.0f} /"
               f" {st['p90']:.0f} / {st['p99']:.0f} / {st['max']}")
         print(f"  est. function evals     {st['fevals']:>10d}")
+        if m == "rk45" and cfg.get("rejects", bool, True):
+            # reject-trial accounting (the step-histogram's adaptive-path
+            # sibling; analysis/rk45_rejects.py): trials the controller
+            # refused — full 7-stage evaluations that advanced nothing
+            try:
+                from raytrace_tpu.ops.diagnostics import rk45_reject_stats
+
+                rj = rk45_reject_stats(rays, spin, r_max=r_max,
+                                       n_steps=8192, ctrl=ctrl)
+                print(f"  reject fraction p50/p90/p99/mean  "
+                      f"{rj['reject_frac_p50']:.3f} / {rj['reject_frac_p90']:.3f}"
+                      f" / {rj['reject_frac_p99']:.3f} / {rj['reject_frac_mean']:.3f}"
+                      f"  ({rj['rejects_total']} of {rj['trials_total']} trials,"
+                      f" {rj['n_unfinished']} unfinished)")
+            except Exception as exc:
+                print(f"  reject stats unavailable: {exc!r}")
         print("  step histogram:")
         for line in step_histogram(st["steps"]):
             print(line)
