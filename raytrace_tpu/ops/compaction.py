@@ -95,6 +95,15 @@ def compact_scatter(out: RayBatch, sub: RayBatch, idx):
     return jax.tree.map(lambda o, s: o.at[idx].set(s, mode="drop"), out, sub)
 
 
+# jitted twins for the host-driven (fuse=False) path: called eagerly,
+# compact_gather/compact_scatter would dispatch ~45 individual ops — on a
+# tunneled chip that is ~45 round trips per compacted phase, against the
+# "one dispatch per phase" the progress drivers advertise
+_gather_jit = jax.jit(compact_gather, static_argnums=1)
+_scatter_jit = jax.jit(compact_scatter)
+_count_active_jit = jax.jit(lambda st: jnp.sum(st.active.astype(jnp.int32)))
+
+
 def run_phases(out: RayBatch, spin, schedule, total: int, phase_fn,
                fuse: bool = True) -> RayBatch:
     """Run the compaction schedule, then a full-width drain phase.
@@ -129,21 +138,51 @@ def run_phases(out: RayBatch, spin, schedule, total: int, phase_fn,
             # phase covers their max), the gather's sort + 21-array
             # take/scatter would be pure waste — measured ~10 ms per
             # skipped gather on the canonical workload (round-4 trace)
-            def _compacted(o, w=width, it=iters, rw=rows, un=unroll):
-                sub, idx = compact_gather(o, w)
-                sub = phase_fn(sub, spin, it, rw, un)
-                return compact_scatter(o, sub, idx)
-
             if fuse:
+                def _compacted(o, w=width, it=iters, rw=rows, un=unroll):
+                    sub, idx = compact_gather(o, w)
+                    sub = phase_fn(sub, spin, it, rw, un)
+                    return compact_scatter(o, sub, idx)
+
                 out = jax.lax.cond(
                     jnp.any(out.active), _compacted, lambda o: o, out
                 )
-            elif bool(jnp.any(out.active)):
-                out = _compacted(out)
+            elif int(_count_active_jit(out)) > 0:
+                sub, idx = _gather_jit(out, width)
+                sub = phase_fn(sub, spin, iters, rows, unroll)
+                out = _scatter_jit(out, sub, idx)
             full_to_end = False
         used += iters
     if not full_to_end:
         # drain: correctness backstop for schedule-overflow lanes (a no-op
         # one-condition-check pass when every lane already finished)
         out = phase_fn(out, spin, total, 16, 2)
+    return out
+
+
+def run_phases_progress(out: RayBatch, spin, schedule, total: int, phase_fn,
+                        label: str) -> RayBatch:
+    """Host-dispatched run_phases with a terminal progress bar between
+    dispatches — the compiled analogue of the reference's in-loop progress
+    bar (progress_bar.h:25-74, raytracer.cpp:107-115). Shared by both
+    engines' progress drivers (ops.trace_compacted(progress=True) and the
+    Pallas trace_pallas_phased); ``phase_fn`` is the engine's jitted
+    resume-mode march, so each phase costs one dispatch plus one live-count
+    fetch (~2 round trips on a tunneled chip)."""
+    import numpy as np
+
+    from raytrace_tpu.utils.progress import ProgressBar
+
+    bar = ProgressBar(total, label=label)
+    done = {"it": 0}
+
+    def wrapped(batch, s, iters, rows, unroll):
+        res = phase_fn(batch, s, iters, rows, unroll)
+        n_live = int(np.asarray(_count_active_jit(res)))
+        done["it"] = min(done["it"] + iters, total)
+        bar.show(done["it"], extra=f"{n_live} live")
+        return res
+
+    out = run_phases(out, spin, schedule, total, wrapped, fuse=False)
+    bar.done()
     return out

@@ -429,11 +429,12 @@ def _euler_rk4_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, meth
 
 
 def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active,
-               step, rates=None):
-    """One lock-step DOPRI5 iteration. With a ``rates`` FSAL carry (see
-    _k1_stage and _seed_rk45_rates) the return value is
-    (st, step, rates_next); legacy callers passing no carry get (st, step)
-    and pay the k1 recomputation."""
+               step, rates):
+    """One lock-step DOPRI5 iteration.
+
+    ``rates`` is the packed FSAL carry (_pack_rates layout, seeded by
+    _seed_rk45_rates): GeodesicRates already evaluated at each lane's
+    current position. Returns (st, step, rates_next)."""
     st_eval = _safe_eval_state(st, active)
     (
         theta_flip,
@@ -447,7 +448,7 @@ def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active,
         ptheta1,
         pphi1,
         rates1,
-    ) = _k1_stage(st_eval, spin, rates)
+    ) = _k1_stage(st_eval, spin, _unpack_rates(rates))
 
     advance = active & ~theta_flip
     status = _nonphysical_status(st_eval, spin, pt1, pphi1, advance, rates1)
@@ -581,25 +582,61 @@ def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active,
         signs,
         (counted, r_flip),
     )
-    if rates is None:
-        return st, new_step
     # FSAL carry: accepted lanes' k7 is exactly the next k1; every other
     # lane (rejected trial, flip-skip, frozen) keeps its current-position
     # rates — both choices are bitwise what the next iteration would
     # recompute.
     rates_next = jax.tree.map(
-        lambda a, b: jnp.where(accept, a, b), rates7, rates1
+        lambda a, b: jnp.where(accept, a, b),
+        _pack_rates(rates7), _pack_rates(rates1),
     )
     return st, new_step, rates_next
 
 
+def _pack_rates(r):
+    """FSAL carry layout: only the GeodesicRates fields the next
+    iteration's k1 stage and status flags consume. cos_t and rhosq are
+    byproducts nothing downstream reads — carrying them through every
+    while-loop iteration (two extra (rows, 128) f32 vregs in the Mosaic
+    kernel) would be pure pressure."""
+    return (r.pt, r.pr, r.ptheta, r.pphi, r.thetadot_sq, r.rdot_sq,
+            r.sin_t, r.inv_rhosq)
+
+
+def _unpack_rates(c):
+    from raytrace_tpu.geometry.kerr import GeodesicRates
+
+    pt, pr, ptheta, pphi, thetadot_sq, rdot_sq, sin_t, inv_rhosq = c
+    # cos_t/rhosq slots are never read on the k1/status path; sin_t stands
+    # in to keep the tuple well-formed
+    return GeodesicRates(pt, pr, ptheta, pphi, thetadot_sq, rdot_sq,
+                         sin_t, sin_t, sin_t, inv_rhosq)
+
+
+def _fresh_propagation_state(rays: RayBatch, spin, horizon, method,
+                             ctrl: StepControl) -> RayBatch:
+    """Fresh-propagation setup shared by every driver: reset the per-
+    propagation sign gates (propagator locals in the reference,
+    raytracer.cpp:137-138) and seed the adaptive step for rk45. Resumed
+    phases skip this — the gates and dt travel in-batch."""
+    rays = rays.replace(
+        r_was_positive=jnp.zeros_like(rays.r_was_positive),
+        theta_was_positive=jnp.ones_like(rays.theta_was_positive),
+    )
+    if method == "rk45":
+        rays = rays.replace(dt=_seed_rk45_step(rays, spin, horizon, ctrl))
+    return rays
+
+
 def _seed_rk45_rates(st: RayBatch, active, spin):
-    """Seed the DOPRI5 FSAL carry: GeodesicRates at each lane's current
-    (safe-evaluated) position — what the first iteration's k1 stage would
-    compute."""
+    """Seed the DOPRI5 FSAL carry (packed, _pack_rates layout): rates at
+    each lane's current (safe-evaluated) position — what the first
+    iteration's k1 stage would compute."""
     se = _safe_eval_state(st, active)
-    return geodesic_rates(se.r, se.theta, se.k, se.h, se.Q, se.rdot_sign,
-                          se.thetadot_sign, spin)
+    return _pack_rates(
+        geodesic_rates(se.r, se.theta, se.k, se.h, se.Q, se.rdot_sign,
+                       se.thetadot_sign, spin)
+    )
 
 
 def _seed_rk45_step(st: RayBatch, spin, horizon, ctrl):
@@ -670,14 +707,7 @@ def trace(
     horizon = horizon_radius(spin) if boundary is None else boundary
 
     if not resume:
-        # Reset the per-propagation sign gates (propagator locals in the
-        # reference, raytracer.cpp:137-138) and seed the adaptive step.
-        rays = rays.replace(
-            r_was_positive=jnp.zeros_like(rays.r_was_positive),
-            theta_was_positive=jnp.ones_like(rays.theta_was_positive),
-        )
-        if method == "rk45":
-            rays = rays.replace(dt=_seed_rk45_step(rays, spin, horizon, ctrl))
+        rays = _fresh_propagation_state(rays, spin, horizon, method, ctrl)
 
     def cond(carry):
         st = carry[0]
@@ -768,12 +798,7 @@ def _trace_fused_xla(
     # Fresh-propagation setup happens once on the full batch (so a schedule
     # whose first phase is width-compacted still gets the gate reset and the
     # rk45 dt seeding); every phase below resumes.
-    out = rays.replace(
-        r_was_positive=jnp.zeros_like(rays.r_was_positive),
-        theta_was_positive=jnp.ones_like(rays.theta_was_positive),
-    )
-    if method == "rk45":
-        out = out.replace(dt=_seed_rk45_step(out, spin, horizon, ctrl))
+    out = _fresh_propagation_state(rays, spin, horizon, method, ctrl)
 
     def phase(batch, s, iters, rows, _unroll):
         # rows is a Pallas block-height knob; the XLA engine ignores it
@@ -853,37 +878,21 @@ def _trace_phased_progress(
     rays, spin, dest, boundary, r_max, *, method, schedule, steplim, ctrl,
     unroll, total
 ):
-    """Host-driven twin of _trace_fused_xla: one dispatch per schedule
-    phase, a progress-bar update (iterations completed / budget, plus the
-    live survivor count) between dispatches. Identical resume semantics —
-    the phases are the same jitted trace() calls the fused program runs."""
-    import jax as _jax
-    import numpy as _np
-
-    from raytrace_tpu.utils.progress import ProgressBar
+    """Host-driven twin of _trace_fused_xla: same phases as the fused
+    program (jitted trace() calls in resume mode), dispatched one by one
+    through compaction.run_phases_progress for the progress bar."""
+    from raytrace_tpu.ops.compaction import run_phases_progress
 
     horizon = horizon_radius(spin) if boundary is None else boundary
-    out = rays.replace(
-        r_was_positive=jnp.zeros_like(rays.r_was_positive),
-        theta_was_positive=jnp.ones_like(rays.theta_was_positive),
-    )
-    if method == "rk45":
-        out = out.replace(dt=_seed_rk45_step(out, spin, horizon, ctrl))
-
-    bar = ProgressBar(total, label=f"march[{method}] {rays.n_rays} rays")
-    done = {"it": 0}
+    out = _fresh_propagation_state(rays, spin, horizon, method, ctrl)
 
     def phase(batch, s, iters, rows, _unroll):
-        res = trace(
+        return trace(
             batch, s, method=method, dest=dest, r_max=r_max, steplim=steplim,
             ctrl=ctrl, boundary=boundary, max_iters=iters, unroll=unroll,
             resume=True, refine_crossing=False,
         )
-        n_live = int(_np.asarray(_jax.device_get(res.active)).sum())
-        done["it"] = min(done["it"] + iters, total)
-        bar.show(done["it"], extra=f"{n_live} live")
-        return res
 
-    out = run_phases(out, spin, schedule, total, phase, fuse=False)
-    bar.done()
+    out = run_phases_progress(out, spin, schedule, total, phase,
+                              label=f"march[{method}] {rays.n_rays} rays")
     return _refine_theta_crossing(out, dest, spin)

@@ -35,13 +35,13 @@ from raytrace_tpu.destinations import (
     ThetaLimit,
 )
 from raytrace_tpu.geometry.kerr import horizon_radius
-from raytrace_tpu.ops.compaction import auto_schedule, run_phases
+from raytrace_tpu.ops.compaction import auto_schedule, run_phases, run_phases_progress
 from raytrace_tpu.ops.integrate import (
     StepControl,
     _euler_rk4_body,
+    _fresh_propagation_state,
     _refine_theta_crossing,
     _rk45_body,
-    _seed_rk45_step,
 )
 from raytrace_tpu.rays import RAY_STATUS_NUMERIC, RAY_STATUS_STEPLIM, RayBatch
 
@@ -305,13 +305,7 @@ def trace_pallas(
 
     horizon = horizon_radius(spin) if boundary is None else boundary
     if not resume:
-        # propagation gate reset (matches trace())
-        rays = rays.replace(
-            r_was_positive=jnp.zeros_like(rays.r_was_positive),
-            theta_was_positive=jnp.ones_like(rays.theta_was_positive),
-        )
-        if method == "rk45":
-            rays = rays.replace(dt=_seed_rk45_step(rays, spin, horizon, ctrl))
+        rays = _fresh_propagation_state(rays, spin, horizon, method, ctrl)
 
     f_in = [pad_to(getattr(rays, f).astype(f32)) for f in _F_FIELDS]
     i_in = [
@@ -359,12 +353,7 @@ def _trace_pallas_fused_jit(
     # Fresh-propagation setup happens once here, on the full batch, so a
     # schedule whose FIRST phase is width-compacted still gets the gate
     # reset and (for rk45) the dt seeding; every kernel call below resumes.
-    out = rays.replace(
-        r_was_positive=jnp.zeros_like(rays.r_was_positive),
-        theta_was_positive=jnp.ones_like(rays.theta_was_positive),
-    )
-    if method == "rk45":
-        out = out.replace(dt=_seed_rk45_step(out, spin, horizon, ctrl))
+    out = _fresh_propagation_state(rays, spin, horizon, method, ctrl)
 
     def phase(batch, s, iters, rows, unroll):
         return trace_pallas(
@@ -393,44 +382,29 @@ def trace_pallas_phased(
 
     Runs the same compaction schedule, but one kernel dispatch per phase
     with a progress-bar update (iterations used / budget + live survivor
-    count) between dispatches — the compiled analogue of the reference's
-    in-loop progress bar (progress_bar.h:25-74, raytracer.cpp:107-115).
-    Costs a handful of host round trips (~30 ms each on a tunneled chip),
+    count) between dispatches (compaction.run_phases_progress, the shared
+    host driver) — the compiled analogue of the reference's in-loop
+    progress bar (progress_bar.h:25-74, raytracer.cpp:107-115). Costs a
+    couple of host round trips per phase (~30 ms each on a tunneled chip),
     so trace_auto selects it only when progress is requested.
     """
-    import numpy as np
-
-    from raytrace_tpu.utils.progress import ProgressBar
-
     if dest is None:
         dest = ThetaLimit(jnp.pi / 2)
     total = steplim + steplim // 4 + 16
     if schedule is None:
         schedule = auto_schedule(rays.n_rays, total, rows=_method_rows(method), unroll=_UNROLL)
     horizon = horizon_radius(spin) if boundary is None else boundary
-    out = rays.replace(
-        r_was_positive=jnp.zeros_like(rays.r_was_positive),
-        theta_was_positive=jnp.ones_like(rays.theta_was_positive),
-    )
-    if method == "rk45":
-        out = out.replace(dt=_seed_rk45_step(out, spin, horizon, ctrl))
-
-    bar = ProgressBar(total, label=f"march[{method}] {rays.n_rays} rays")
-    done = {"it": 0}
+    out = _fresh_propagation_state(rays, spin, horizon, method, ctrl)
 
     def phase(batch, s, iters, rows, unroll):
-        res = trace_pallas(
+        return trace_pallas(
             batch, s, method=method, dest=dest, r_max=r_max, steplim=steplim,
             ctrl=ctrl, max_iters=iters, refine_crossing=False, rows=rows,
             unroll=unroll, resume=True, boundary=boundary,
         )
-        n_live = int(np.asarray(res.active).sum())
-        done["it"] = min(done["it"] + iters, total)
-        bar.show(done["it"], extra=f"{n_live} live")
-        return res
 
-    out = run_phases(out, spin, schedule, total, phase, fuse=False)
-    bar.done()
+    out = run_phases_progress(out, spin, schedule, total, phase,
+                              label=f"march[{method}] {rays.n_rays} rays")
     return _refine_crossing_jit(out, dest, spin)
 
 

@@ -30,11 +30,13 @@ class ProgressBar:
         self.enabled = enabled
         self.tty = sys.stderr.isatty()
         self.t0 = time.time()
+        self._last = -1.0
 
     def show(self, done: int, extra: str = ""):
         if not self.enabled:
             return
         frac = min(done / self.total, 1.0)
+        self._last = frac
         suffix = f" [{extra}]" if extra else ""
         if self.tty:
             width = max(shutil.get_terminal_size((80, 20)).columns - 34, 10)
@@ -52,11 +54,14 @@ class ProgressBar:
         sys.stderr.flush()
 
     def done(self):
-        if self.enabled:
+        if not self.enabled:
+            return
+        # don't repeat an already-printed 100% line on non-TTY streams
+        if self.tty or self._last < 1.0:
             self.show(self.total)
-            if self.tty:
-                sys.stderr.write("\n")
-                sys.stderr.flush()
+        if self.tty:
+            sys.stderr.write("\n")
+            sys.stderr.flush()
 
 
 @contextlib.contextmanager
