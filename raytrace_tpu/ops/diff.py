@@ -353,6 +353,59 @@ def line_profile_observable(spin, incl_deg, grid, *, dist=500.0, r_disc=50.0,
     return jnp.sum(flux[:, None] * kern, axis=0)
 
 
+def line_profile_from_xy(spin, incl_deg, x, y, dead=None, *, dist=500.0,
+                         r_disc=50.0, q=3.0, e_rest=1.0, energies=None,
+                         sigma_e=0.035, n_steps=2048, checkpoint_every=64):
+    """line_profile_observable over EXPLICIT plane coordinates.
+
+    The per-shard kernel for the multi-chip fitting step
+    (parallel.sharded_line_profile_fit_step): camera (x, y) arrays can be
+    sharded over the ray mesh axis, ``dead`` marks padding rows (excluded
+    from the profile), and the ray construction is all-traced (gradients
+    flow through spin AND incl). Traced construction computes the starting
+    conditions in the working dtype — on TPU that is f32, adequate for
+    dist up to ~1e3 (sources/imageplane.py's precision envelope); the
+    far-field f64-seeded path is the grid-based wrapper below.
+    """
+    from raytrace_tpu.geometry import isco_radius
+    from raytrace_tpu.geometry.kerr import bl_to_cartesian
+    from raytrace_tpu.ops.redshift import apply_redshift, redshift_start
+    from raytrace_tpu.sources.imageplane import _batch_from_parts, _plane_ray
+
+    ftype = jnp.result_type(x)
+    if energies is None:
+        energies = jnp.linspace(0.3 * e_rest, 1.3 * e_rest, 48)
+    a_trace = -spin
+    incl = jnp.asarray(incl_deg, ftype) * jnp.pi / 180.0
+    parts = _plane_ray(x, y, jnp.asarray(dist, ftype), incl,
+                       jnp.asarray(0.0, ftype), a_trace, ftype)
+    rays = _batch_from_parts(parts, x, y, ftype)
+    if dead is not None:
+        rays = rays.replace(
+            steps=jnp.where(dead, jnp.full_like(rays.steps, -1), rays.steps)
+        )
+    rays = redshift_start(rays, a_trace, V=0.0, reverse=True)
+    out = trace_scan(rays, a_trace, method="rk4", r_max=1.1 * dist,
+                     n_steps=n_steps, checkpoint_every=checkpoint_every)
+    out = apply_redshift(out, a_trace, V=-1.0, reverse=True)
+
+    g = out.redshift
+    _, _, z = bl_to_cartesian(out.r, out.theta, out.phi, spin)
+    hit = (
+        out.ok & (z < 1e-2) & (out.r >= isco_radius(spin))
+        & (out.r < r_disc) & (g > 0)
+    )
+    hit = lax.stop_gradient(hit)
+    w = chaos_weight(separatrix_score(out.k, out.h, out.Q, a_trace))
+
+    g_safe = jnp.where(hit, g, 1.0)
+    r_safe = jnp.where(hit, out.r, 1.0)
+    flux = jnp.where(hit, w * r_safe ** (-q) / g_safe**3, 0.0)
+    e_obs = e_rest / g_safe
+    kern = jnp.exp(-0.5 * ((energies[None, :] - e_obs[:, None]) / sigma_e) ** 2)
+    return jnp.sum(flux[:, None] * kern, axis=0)
+
+
 def emissivity_binned_profile(spin, h_source, gamma, grid, *, r_min=None,
                               r_disc=500.0, n_r=100, logbin_r=True,
                               n_steps=6144, r_max=1000.0, method="rk4",

@@ -10,6 +10,7 @@ from raytrace_tpu.parallel.sharding import (
     sharded_caustic_trace,
     sharded_emissivity_bins,
     sharded_emissivity_gradient,
+    sharded_line_profile_fit_step,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "sharded_caustic_trace",
     "sharded_emissivity_bins",
     "sharded_emissivity_gradient",
+    "sharded_line_profile_fit_step",
 ]

@@ -432,6 +432,100 @@ def sharded_emissivity_gradient(
     )
 
 
+def sharded_line_profile_fit_step(
+    spin,
+    incl_deg,
+    grid,
+    target,
+    mesh: Mesh,
+    *,
+    dist=500.0,
+    r_disc=50.0,
+    q=3.0,
+    e_rest=1.0,
+    n_energies: int = 48,
+    sigma_e=0.035,
+    n_steps: int = 2048,
+):
+    """One multi-chip line-profile fitting step: chi-square loss of the
+    observed profile against ``target`` and its gradients d/d(spin, incl).
+
+    The production shape of the BASELINE north star (fitting iron-K line
+    shapes for spin/inclination): camera coordinates shard over the
+    ``rays`` mesh axis, each device runs forward+backward through its own
+    rays' differentiable march, the per-shard partial profiles meet in ONE
+    in-graph psum (the loss is a nonlinear function of the TOTAL profile,
+    so the reduction must sit inside the differentiated computation — its
+    transpose broadcasts the cotangent back to every shard), and the
+    per-shard parameter gradients all-reduce with a second psum. Output
+    (loss, (d_spin, d_incl)) is replicated; the whole step is one jitted
+    program (fusion-robust via the observable's chaos_weight suppression,
+    ops/diff.py).
+
+    ``target`` is the [n_energies] profile to fit (replicated); energies
+    span 0.3..1.3 e_rest like line_profile_observable.
+    """
+    x, y = grid.xy()
+    dead = jnp.zeros(x.shape, dtype=bool)
+    n_dev = mesh.devices.size
+    x, y, dead = _pad_angles(x, y, dead, n_dev)
+    sh = NamedSharding(mesh, P("rays"))
+    x, y, dead = (jax.device_put(a, sh) for a in (x, y, dead))
+    target = jnp.asarray(target)
+
+    run = _sharded_line_fit_program(
+        mesh, float(dist), float(r_disc), float(q), float(e_rest),
+        int(n_energies), float(sigma_e), int(n_steps),
+    )
+    ftype = jnp.result_type(float)
+    return run(jnp.asarray(spin, ftype), jnp.asarray(incl_deg, ftype),
+               x, y, dead, target)
+
+
+@lru_cache(maxsize=64)
+def _sharded_line_fit_program(mesh, dist, r_disc, q, e_rest, n_energies,
+                              sigma_e, n_steps):
+    """Cached shard_map program for the line-profile fit step (see
+    _sharded_trace_program for why caching is load-bearing)."""
+    from raytrace_tpu.ops.diff import line_profile_from_xy
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P("rays"), P("rays"), P("rays"), P()),
+        out_specs=(P(), (P(), P())),
+        check_vma=False,
+    )
+    def run(s, incl, x, y, dd, target):
+        energies = jnp.linspace(0.3 * e_rest, 1.3 * e_rest, n_energies,
+                                dtype=x.dtype)
+
+        def loss_fn(s_, incl_):
+            p_local = line_profile_from_xy(
+                s_, incl_, x, y, dd, dist=dist, r_disc=r_disc, q=q,
+                e_rest=e_rest, energies=energies, sigma_e=sigma_e,
+                n_steps=n_steps,
+            )
+            p_total = jax.lax.psum(p_local, "rays")
+            return jnp.sum((p_total - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(s, incl)
+        # loss is identical on every shard (it sees the psummed profile).
+        # Gradients need TWO corrections folded into one: each shard's
+        # grad covers only its own rays' paths (-> psum to total), but the
+        # loss graph is REPLICATED per shard and shard_map's psum
+        # transpose sums the identical cotangents, inflating every
+        # per-shard grad by the axis size (measured exactly 8x on the
+        # 8-device mesh) -> divide it back out. Validated against the
+        # single-device value_and_grad of the same composition
+        # (tests/test_parallel.py).
+        n_ax = jax.lax.psum(jnp.ones((), x.dtype), "rays")
+        grads = jax.tree.map(lambda g: g / n_ax, jax.lax.psum(grads, "rays"))
+        return loss, grads
+
+    return jax.jit(run)
+
+
 @lru_cache(maxsize=64)
 def _sharded_gradient_program(mesh, n_steps, r0, sigma_ln, r_max):
     """Cached shard_map program for the sharded gradient step (see
