@@ -77,8 +77,15 @@ def compute(
     trace_fn=trace_auto,
     variant="plain",  # "plain" (emissivity.cpp) | "rd" (emissivity_rd.cpp)
     theta_lim=jnp.pi / 2,
+    mesh=None,
 ):
-    """Run the emissivity pipeline; returns a dict of per-bin columns."""
+    """Run the emissivity pipeline; returns a dict of per-bin columns.
+
+    With a ``mesh`` (plain variant) the whole step runs data-parallel over
+    the mesh's ``rays`` axis through parallel.sharded_emissivity_bins —
+    per-shard march + redshift + local binning, one psum merging the
+    histograms.
+    """
     r_isco = isco_radius(spin)
     if r_min is None or r_min < 0:
         r_min = float(r_isco)
@@ -95,6 +102,31 @@ def compute(
     )
 
     rays = point_source(source, V, spin, grid)
+    if mesh is not None and variant == "plain":
+        from raytrace_tpu.parallel import (
+            pad_rays,
+            shard_rays,
+            sharded_emissivity_bins,
+        )
+
+        sharded = shard_rays(pad_rays(rays, mesh.devices.size), mesh)
+        counts, sums = sharded_emissivity_bins(
+            sharded, spin, mesh, V=V, r_min=float(r_min), dr=float(dr),
+            n_r=n_r, logbin_r=logbin_r, gamma=gamma, n_primary=n_primary,
+            method=method, r_max=r_max, steplim=steplim, ctrl=ctrl,
+        )
+        counts_np = np.asarray(counts)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return {
+                "r": np.asarray(disc_r),
+                "area": np.asarray(areas),
+                "rays": counts_np.astype(np.int64),
+                "flux": np.asarray(sums["flux"]) / np.asarray(areas),
+                "emis": np.asarray(sums["emis"]) / np.asarray(areas),
+                "redshift": np.asarray(sums["redshift"]) / counts_np,
+                "time": np.asarray(sums["time"]) / counts_np,
+            }
+
     rays = redshift_start(rays, spin, V)
     if variant == "rd":
         # destination-API route (emissivity_rd.cpp:99-116): FlatDisc surface
@@ -181,8 +213,12 @@ def _run_main(argv, variant):
     theta_lim = cfg.get("theta_lim", float, np.pi / 2)
 
     print(f"emissivity[{variant}]: spin={spin} source={source} {grid.n_rays} rays")
+    from raytrace_tpu.parallel import auto_mesh
     from raytrace_tpu.utils.progress import app_phase
 
+    mesh = auto_mesh() if variant == "plain" else None
+    if mesh is not None:
+        print(f"sharding {grid.n_rays} rays over {mesh.devices.size} devices")
     with app_phase(f"emissivity {variant} march+bin"):
         out = compute(
             spin,
@@ -199,6 +235,7 @@ def _run_main(argv, variant):
             steplim=None if steplim <= 0 else steplim,
             variant=variant,
             theta_lim=theta_lim,
+            mesh=mesh,
         )
 
     with TextOutput(outfile) as f:
