@@ -48,11 +48,10 @@ from raytrace_tpu.rays import RAY_STATUS_NUMERIC, RAY_STATUS_STEPLIM, RayBatch
 # Block shape: rows of the f32 (8,128) tile marched together. 8 rows = one
 # vreg per op (finest early-retirement granularity); larger blocks amortise
 # instruction issue over several vregs at the cost of coarser retirement.
-# Hardware A/B on the canonical workload (v5e, 2026-08-21 re-sweep with the
-# fused compaction schedule, analysis/kernel_sweep.py): RK4 16 rows 596M /
-# 32 rows 713-720M / 64 rows 710-717M steps/s; RK45 16 rows 326-352M / 32
-# rows 358-392M / 64 rows 358-378M -> default 32 (earlier per-call-dispatch
-# measurements favoured 16). Tunable via RT_PALLAS_ROWS.
+# Hardware A/B on the canonical workload under the round-4 unified
+# two-phase schedule (v5e 2026-08-21, analysis/kernel_sweep.py to
+# re-measure): RK4 1139/1339/1289M steps/s at 16/32/64 rows -> default 32.
+# Tunable via RT_PALLAS_ROWS.
 import os as _os
 
 _ROWS = int(_os.environ.get("RT_PALLAS_ROWS", "32"))
