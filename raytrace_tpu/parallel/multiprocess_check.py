@@ -58,8 +58,12 @@ def _worker() -> None:
 
     import numpy as np
 
-    from raytrace_tpu.parallel import make_ray_mesh, sharded_emissivity_gradient
-    from raytrace_tpu.sources import PointSourceGrid
+    from raytrace_tpu.parallel import (
+        make_ray_mesh,
+        sharded_emissivity_gradient,
+        sharded_line_profile_fit_step,
+    )
+    from raytrace_tpu.sources import ImagePlaneGrid, PointSourceGrid
 
     n_dev = nproc * DEVS_PER_PROC
     assert jax.device_count() == n_dev, (jax.device_count(), n_dev)
@@ -72,15 +76,43 @@ def _worker() -> None:
     val, grads = sharded_emissivity_gradient(
         spin, 5.0, 2.0, grid, mesh, n_steps=1024, r0=4.0, r_max=50.0
     )
+
+    # line-profile fitting step across the process boundary: the in-graph
+    # psum of partial profiles (inside value_and_grad) rides the
+    # inter-process path here, not just intra-process ICI
+    fit = _fit_step_case(mesh)
     result = {
         "value": float(val),
         "grads": [float(g) for g in grads],
+        "fit_loss": fit[0],
+        "fit_grads": fit[1],
         "process_count": jax.process_count(),
         "device_count": jax.device_count(),
     }
     if pid == 0:
         print("RESULT " + json.dumps(result), flush=True)
     jax.distributed.shutdown()
+
+
+def _fit_step_case(mesh):
+    """The shared line-profile fit configuration (worker + reference)."""
+    import jax.numpy as jnp
+
+    from raytrace_tpu.ops.diff import line_profile_from_xy
+    from raytrace_tpu.parallel import sharded_line_profile_fit_step
+    from raytrace_tpu.sources import ImagePlaneGrid
+
+    fit_grid = ImagePlaneGrid.from_steps(-10.5, 11.5, 2.75, -10.5, 11.5, 2.75)
+    fx, fy = fit_grid.xy()
+    target = line_profile_from_xy(
+        0.9, 55.0, fx, fy, dist=100.0, r_disc=15.0, n_steps=768,
+        energies=jnp.linspace(0.3, 1.3, 48),
+    )
+    loss, grads = sharded_line_profile_fit_step(
+        0.85, 57.0, fit_grid, target, mesh, dist=100.0, r_disc=15.0,
+        n_steps=768,
+    )
+    return float(loss), [float(g) for g in grads]
 
 
 def _single_process_reference() -> dict:
@@ -93,13 +125,16 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax
 jax.config.update("jax_platforms", "cpu")
 from raytrace_tpu.parallel import make_ray_mesh, sharded_emissivity_gradient
+from raytrace_tpu.parallel.multiprocess_check import _fit_step_case
 from raytrace_tpu.sources import PointSourceGrid
 mesh = make_ray_mesh(8)
 grid = PointSourceGrid.from_steps(0.25, 0.25, -0.9, 0.9, -3.0, 3.0)
 val, grads = sharded_emissivity_gradient(0.998, 5.0, 2.0, grid, mesh,
                                          n_steps=1024, r0=4.0, r_max=50.0)
+fit = _fit_step_case(mesh)
 print("RESULT " + json.dumps({"value": float(val),
-                              "grads": [float(g) for g in grads]}))
+                              "grads": [float(g) for g in grads],
+                              "fit_loss": fit[0], "fit_grads": fit[1]}))
 """
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
@@ -167,12 +202,19 @@ def _launch(out_path: str) -> int:
             for g2, g1 in zip(result["grads"], ref["grads"])
         )
         val_rel = abs(result["value"] - ref["value"]) / abs(ref["value"])
-        # gradient parity to the ensemble noise floor (see test_parallel.py)
+        fit_rel = max(
+            abs(result["fit_loss"] - ref["fit_loss"]) / abs(ref["fit_loss"]),
+            *(abs(g2 - g1) / max(abs(g1), 1e-30)
+              for g2, g1 in zip(result["fit_grads"], ref["fit_grads"])),
+        )
+        # gradient parity to the ensemble noise floor (see test_parallel.py);
+        # the fit step (in-graph psum under value_and_grad across the
+        # process boundary) is chaos-weight protected and tighter
         record.update(
-            ok=bool(val_rel < 1e-8 and rel < 2e-3 and
+            ok=bool(val_rel < 1e-8 and rel < 2e-3 and fit_rel < 1e-6 and
                     all(math.isfinite(g) for g in result["grads"])),
             two_process=result, single_process=ref,
-            value_rel_err=val_rel, grad_rel_err=rel,
+            value_rel_err=val_rel, grad_rel_err=rel, fit_rel_err=fit_rel,
         )
         print(json.dumps(record))
     with open(out_path, "w") as f:
