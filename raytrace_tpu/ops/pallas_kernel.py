@@ -19,7 +19,6 @@ f32 only (TPU native); the f64 accuracy story lives on the XLA/CPU path.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax

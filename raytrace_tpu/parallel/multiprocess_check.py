@@ -56,8 +56,6 @@ def _worker() -> None:
         coordinator_address=coord, num_processes=nproc, process_id=pid
     )
 
-    import numpy as np
-
     from raytrace_tpu.parallel import (
         make_ray_mesh,
         sharded_emissivity_gradient,
