@@ -61,7 +61,7 @@ def _worker() -> None:
         sharded_emissivity_gradient,
         sharded_line_profile_fit_step,
     )
-    from raytrace_tpu.sources import ImagePlaneGrid, PointSourceGrid
+    from raytrace_tpu.sources import PointSourceGrid
 
     n_dev = nproc * DEVS_PER_PROC
     assert jax.device_count() == n_dev, (jax.device_count(), n_dev)
