@@ -425,7 +425,13 @@ def _main(target):
         eps_frac = cfg.get("bundle_eps_frac", float, 0.01)
         method = cfg.get("integrator", str, "rk45").lower()
         rk45_tol = cfg.get("rk45_tol", float, 1e-8)
+        precision = cfg.get("precision", float, 100.0)
         steplim = cfg.get("steplim", int, -1)
+        # reference par key (caustic_*.par_example): per-phase progress
+        if cfg.get("show_progress", bool, False):
+            import os
+
+            os.environ.setdefault("RT_PROGRESS", "1")
 
         dx = (xmax - x0) / nx
         dy = (ymax - y0) / ny
@@ -445,7 +451,7 @@ def _main(target):
                 r_disc=r_disc, z_s=z_s, r_lim=r_lim, phi0=np.deg2rad(phi0),
                 use_bundles=use_bundles, bundle_eps_frac=eps_frac,
                 method=method, steplim=None if steplim <= 0 else steplim,
-                ctrl=StepControl(rk45_tol=rk45_tol),
+                ctrl=StepControl(rk45_tol=rk45_tol, precision=precision),
                 mesh=mesh,
             )
         d = maps["diag"]

@@ -211,6 +211,11 @@ def _run_main(argv, variant):
     method = cfg.get("integrator", str, "rk4" if variant == "rd" else "rk45").lower()
     steplim = cfg.get("steplim", int, -1)
     theta_lim = cfg.get("theta_lim", float, np.pi / 2)
+    # reference par key (emissivity.par_example): per-phase progress
+    if cfg.get("show_progress", bool, False):
+        import os
+
+        os.environ.setdefault("RT_PROGRESS", "1")
 
     print(f"emissivity[{variant}]: spin={spin} source={source} {grid.n_rays} rays")
     from raytrace_tpu.parallel import auto_mesh

@@ -249,6 +249,13 @@ def _main(variant):
         rk45_tol = cfg.get("rk45_tol", float, 1e-8)
         theta_lim = cfg.get("theta_lim", float, np.pi / 2)
         steplim = cfg.get("steplim", int, -1)
+        # reference par keys (imageplane_disc_image.par_example)
+        precision = cfg.get("precision", float, 100.0)
+        max_tstep = cfg.get("max_tstep", float, 1.0)
+        if cfg.get("show_progress", bool, False):
+            import os
+
+            os.environ.setdefault("RT_PROGRESS", "1")
 
         # ray-grid spacing convention of the app (imageplane_disc_image.cpp:79):
         # dx = (xmax - x0)/Nx, and the plane then carries Nx+1 rays per axis
@@ -272,7 +279,8 @@ def _main(variant):
                 variant=variant, theta_lim=theta_lim, method=method,
                 flip_image=flip_image,
                 steplim=None if steplim <= 0 else steplim,
-                ctrl=StepControl(rk45_tol=rk45_tol),
+                ctrl=StepControl(rk45_tol=rk45_tol, precision=precision,
+                                 max_tstep=max_tstep),
                 mesh=mesh,
             )
 
