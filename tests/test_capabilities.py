@@ -393,3 +393,40 @@ class TestTrajectoryGolden:
             if np.abs(m[:n] - ref[j][:n]).max() < 1e-4:
                 matched += 1
         assert matched >= 34, f"only {matched}/40 trajectories matched"
+
+    GOLDEN_IP = "tests/golden/trace_rays_imageplane_a0.9_d100_i60_euler.dat"
+
+    def test_imageplane_trajectories_match_reference(self, tmp_path):
+        """rt-trace-rays-imageplane vs the reference trace_rays_imageplane
+        binary (src/ray_paths/trace_rays_imageplane.cpp:1-90): backward
+        Euler trajectories from a 3x3 image plane at dist 100, incl 60,
+        spin 0.9, half-pixel-offset grid (no knife-edge b = 0 rays).
+
+        The reference app has a ctor argument-order bug — tol is passed
+        into the phi0 slot and plane_phi0 into precision
+        (trace_rays_imageplane.cpp:61 vs imageplane.cpp:11) — so the
+        golden was produced with par tol = 0 and plane_phi0 = 100, making
+        its effective phi0 = 0 and precision = 100 (the defaults our
+        correctly-ordered CLI uses)."""
+        from raytrace_tpu.apps.trace_rays import main_imageplane
+
+        out = tmp_path / "mine.dat"
+        assert main_imageplane([
+            f"--outfile={out}", "--dist=100", "--incl=60", "--spin=0.9",
+            "--x0=-6.5", "--xmax=5.5", "--Nx=3",
+            "--y0=-6.5", "--ymax=5.5", "--Ny=3",
+            "--write_step=50", "--n_snapshots=1024", "--integrator=euler",
+            "--thetamax=0",
+        ]) == 0
+        ref = self._load(self.GOLDEN_IP)
+        mine = self._load(str(out))
+        assert len(mine) == len(ref) == 9
+
+        for m, r in zip(mine, ref):
+            # same snapshot count per ray and point-by-point agreement to
+            # the text precision over the early trajectory; late snapshots
+            # of plunging rays amplify machine-epsilon drift near the horizon,
+            # so compare the leading half
+            assert abs(len(m) - len(r)) <= 1
+            n = max(2, min(len(m), len(r)) // 2)
+            np.testing.assert_allclose(m[:n], r[:n], rtol=2e-5, atol=2e-4)
