@@ -23,14 +23,16 @@ Two measurements:
    scatter inside the timed region), canonical bench methodology.
 
 Result (2026-08-21, v5e, RK4 steplim 30k, 125,171 rays, steps p50/99/max =
-379/774/782): total-iteration overhead of the fused schedule is only
-1.17x useful steps in natural order; the ORACLE bound is 1.07x, and every
-realizable predictor lands exactly on natural order (the angle grid's
-continuity already clusters lifetimes; Spearman(steps, |score|) ~ 0).
-Lifetime sorting therefore cannot buy more than ~9% even with perfect
-prediction — the roofline residual is per-iteration efficiency (Mosaic
-loop overhead, issue amortisation), NOT retirement granularity. Negative
-result recorded in BENCH_NOTES; the hardware A/B confirms within noise.
+379/774/782; re-simulated against the SHIPPED open_iters=1536 schedule,
+round-4 advice): total-iteration overhead of the fused schedule is 1.36x
+useful steps in natural order; the ORACLE bound is 1.04x, but every
+realizable predictor (signed/abs separatrix score, 64-iteration pilot)
+lands exactly on natural order (the angle grid's continuity already
+clusters lifetimes; Spearman(steps, |score|) ~ 0). Lifetime sorting with
+any PRE-MARCH predictor therefore buys nothing; only an unachievable
+step-count oracle could reclaim the ~24% retirement slack, and the
+hardware A/B (score-sorted vs natural) confirms no gain within noise.
+Negative result recorded in BENCH_NOTES.
 """
 
 from __future__ import annotations
@@ -59,11 +61,15 @@ def _canonical_steps():
     return steps, score
 
 
-def schedule_cost(steps, order, rows=32, unroll=4, open_iters=512):
+def schedule_cost(steps, order, rows=32, unroll=4, open_iters=None):
     """Per-lane iteration cost of the fused schedule under an ordering:
     a full-width opening phase in (rows, 128) blocks, then the surviving
     lanes (order preserved by the compaction gather) to completion in
-    (8, 128) tail blocks — mirrors ops/compaction.py::auto_schedule."""
+    (8, 128) tail blocks — mirrors ops/compaction.py::auto_schedule and
+    defaults to its SHIPPED opening length (round-4 advice: the original
+    study simulated open_iters=512, a schedule that no longer ships)."""
+    if open_iters is None:
+        from raytrace_tpu.ops.compaction import OPEN_ITERS as open_iters
     n = steps.size
     blk = rows * 128
     s = steps[order]

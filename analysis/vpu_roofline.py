@@ -21,8 +21,9 @@ was mostly the compaction gathers (jnp.nonzero lowering to serialised
 TPU scatters, 10.4 ms each = 36% of the march) plus an unnecessary
 mid-width phase; fixing those took the kernel to 1.32G. Retirement waste
 itself is small — the measured per-block iteration overhead of natural
-grid order is only 1.17x useful steps, with an oracle lifetime-sort
-ceiling of 1.07x (analysis/lifetime_sort_study.py, hardware-confirmed
+grid order is 1.36x useful steps under the shipped open_iters=1536
+schedule, with an (unachievable) oracle lifetime-sort ceiling of 1.04x
+(analysis/lifetime_sort_study.py, hardware-confirmed
 negative result for sorting).
 
 Usage:  python -m analysis.vpu_roofline

@@ -177,23 +177,28 @@ def _append_notes(notes):
 def main():
     primary = os.environ.get("RT_BENCH_METHOD", "rk4")
     value, notes = bench_once(primary)
-    print(
-        json.dumps(
-            {
-                "metric": f"{primary}_steps_per_s_chip",
-                "value": round(value),
-                "unit": "steps/s",
-                "vs_baseline": round(value / 1e7, 3),
-            }
-        )
-    )
     _append_notes(notes)
 
+    # One JSON line (the driver contract) carrying BOTH integrators: the
+    # reference always benches them together (integrator_perf_test.cpp:49-50),
+    # and the round-4 verdict asked for rk45 + sustained as first-class
+    # driver-tracked fields rather than BENCH_NOTES-only records.
+    record = {
+        "metric": f"{primary}_steps_per_s_chip",
+        "value": round(value),
+        "unit": "steps/s",
+        "vs_baseline": round(value / 1e7, 3),
+        f"{primary}_sustained": notes["steps_per_s_sustained"],
+    }
     if os.environ.get("RT_BENCH_SECONDARY", "1") != "0":
         other = "rk45" if primary != "rk45" else "rk4"
-        _, notes2 = bench_once(other)
+        value2, notes2 = bench_once(other)
         notes2["secondary"] = True
         _append_notes(notes2)
+        record[f"{other}_steps_per_s"] = round(value2)
+        record[f"{other}_sustained"] = notes2["steps_per_s_sustained"]
+        record["stuck_ok"] = bool(notes["stuck_ok"] and notes2["stuck_ok"])
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -28,9 +28,14 @@ from raytrace_tpu.rays import RayBatch
 _BN16 = 16 * 128
 _BN8 = 8 * 128
 
+# Opening-phase length of the shipped two-phase schedule; exported so the
+# offline schedule-cost model (analysis/lifetime_sort_study.py) simulates
+# the schedule that actually ships.
+OPEN_ITERS = 1536
 
-def auto_schedule(n: int, total: int, open_iters: int = 1536, rows: int = 32,
-                  unroll: int = 4):
+
+def auto_schedule(n: int, total: int, open_iters: int = OPEN_ITERS,
+                  rows: int = 32, unroll: int = 4):
     """Static compaction schedule: (iters, width, rows, unroll) per phase.
 
     ``rows``/``unroll`` set the block height and body unrolling of the

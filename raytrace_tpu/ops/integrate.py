@@ -590,6 +590,19 @@ def _rk45_body(st: RayBatch, spin, horizon, dest, rlim, steplim, ctrl, active,
         lambda a, b: jnp.where(accept, a, b),
         _pack_rates(rates7), _pack_rates(rates1),
     )
+    # Frozen-lane hygiene: a lane that went inactive THIS iteration freezes
+    # its last rates in the carry forever, bypassing the _safe_eval_state
+    # pass active lanes get — if those rates are non-finite (f32 polar-axis
+    # k1_bad, overflowed edge case) the inf rides the scan carry and 0*inf
+    # in multiply transposes NaN-poisons ensemble gradients under
+    # trace_scan(method="rk45"). Zero the non-finite entries of inactive
+    # lanes only: bitwise no-op on every live lane and on the (overwhelming)
+    # all-finite case.
+    alive = st.active
+    rates_next = jax.tree.map(
+        lambda a: jnp.where(alive | jnp.isfinite(a), a, jnp.zeros_like(a)),
+        rates_next,
+    )
     return st, new_step, rates_next
 
 

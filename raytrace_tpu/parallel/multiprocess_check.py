@@ -1,4 +1,4 @@
-"""Real multi-process SPMD exercise: 2 CPU processes under jax.distributed.
+"""Real multi-process SPMD exercise: N CPU processes under jax.distributed.
 
 The single untested layer between the virtual-device dryrun and a real pod
 is process-spanning mesh mechanics (jax.distributed.initialize, global
@@ -33,8 +33,12 @@ import socket
 import subprocess
 import sys
 
-DEVS_PER_PROC = 4
-NPROC = 2
+# Topology: RT_MPC_PROCS processes x RT_MPC_DEVS virtual CPU devices each
+# (defaults 2x4; the round-5 artifact runs 4x2 to exercise >2-way
+# DCN-analogue collectives). The single-process reference always uses the
+# same total device count, so the mesh numerics are directly comparable.
+DEVS_PER_PROC = int(os.environ.get("RT_MPC_DEVS", "4"))
+NPROC = int(os.environ.get("RT_MPC_PROCS", "2"))
 
 
 def _worker() -> None:
@@ -115,17 +119,18 @@ def _fit_step_case(mesh):
 
 def _single_process_reference() -> dict:
     """Same pipeline on one process (virtual 8-device mesh) for comparison."""
-    code = r"""
+    n_dev = NPROC * DEVS_PER_PROC
+    code = f"N_DEV = {n_dev}\n" + r"""
 import os, json
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8").strip()
+    + " --xla_force_host_platform_device_count=%d").strip() % N_DEV
 import jax
 jax.config.update("jax_platforms", "cpu")
 from raytrace_tpu.parallel import make_ray_mesh, sharded_emissivity_gradient
 from raytrace_tpu.parallel.multiprocess_check import _fit_step_case
 from raytrace_tpu.sources import PointSourceGrid
-mesh = make_ray_mesh(8)
+mesh = make_ray_mesh(N_DEV)
 grid = PointSourceGrid.from_steps(0.25, 0.25, -0.9, 0.9, -3.0, 3.0)
 val, grads = sharded_emissivity_gradient(0.998, 5.0, 2.0, grid, mesh,
                                          n_steps=1024, r0=4.0, r_max=50.0)

@@ -237,3 +237,42 @@ def test_trace_auto_dispatch():
     out = trace_auto(rays, SPIN, method="rk4", dest=plane, r_max=R_MAX,
                      steplim=STEPLIM_TEST)
     assert (np.asarray(out.steps) != 0).any()
+
+
+def test_rk45_frozen_lane_carry_sanitised():
+    """FSAL-carry hygiene (round-4 advice): a lane that goes inactive with
+    non-finite carried rates must have them zeroed in the scan carry —
+    otherwise 0*inf in multiply transposes NaN-poisons ensemble gradients
+    under trace_scan(method="rk45")."""
+    import jax
+
+    from raytrace_tpu.ops.integrate import (
+        RK45_STEPLIM,
+        StepControl,
+        _fresh_propagation_state,
+        _rk45_body,
+        _seed_rk45_rates,
+    )
+
+    rays = _lamppost(0.5)
+    ctrl = StepControl()
+    horizon = horizon_radius(SPIN)
+    st = _fresh_propagation_state(rays, SPIN, horizon, "rk45", ctrl)
+    n = st.n_rays
+    # freeze every odd lane (steps < 0 == dead) and poison its carry with inf
+    dead = (jnp.arange(n) % 2).astype(bool)
+    st = st.replace(steps=jnp.where(dead, -1, st.steps))
+    rates = _seed_rk45_rates(st, st.active, SPIN)
+    rates = jax.tree.map(
+        lambda a: jnp.where(dead, jnp.inf, a), rates
+    )
+    st2, step2, rates2 = _rk45_body(
+        st, SPIN, horizon, ThetaLimit(jnp.pi / 2), R_MAX, RK45_STEPLIM, ctrl,
+        st.active, st.dt, rates,
+    )
+    dead2 = ~np.asarray(st2.active)
+    for leaf in jax.tree.leaves(rates2):
+        leaf = np.asarray(leaf)
+        assert np.isfinite(leaf[dead2 & np.asarray(dead)]).all()
+    # live lanes advanced normally
+    assert np.asarray(st2.steps)[~np.asarray(dead)].max() >= 1
