@@ -206,6 +206,141 @@ def check_caustic_jacobian(backend, record):
     return status
 
 
+PLANE_GOLDEN = "tests/golden/caustic_plane_a0.998_i30_rk45.bin"
+# f32 envelopes for the two remaining caustic targets (round-4 verdict
+# item 6), measured on the CPU f32 path (2026-08-21): the far-PLANE target
+# marches every bundle ~500 r_g PAST the hole, so f32 landing noise is
+# ~1.3 r_g median and the per-pixel Jacobians are Lyapunov-swamped even
+# f32-vs-f64 on our own pipeline (median dev 3.8x, 440 surviving pixels) —
+# det J is therefore REPORTED but not gated for this target; the f64 CPU
+# suite (tests/test_caustics.py) pins it to 1%. The hardware gate is the
+# structure that survives f32: hit map, image order, landing positions.
+PLANE_THRESHOLDS = {"landing": 2.5, "order_agree": 0.98}
+SPHERE_GOLDEN = "tests/golden/caustic_sourceplane_a0.998_i30_rk45.bin"
+# sphere landing ANGLES divide out the lever arm (measured f32 envelope:
+# median 1.4e-3 rad, det J median 6.9%, well-measured fraction 96%)
+SPHERE_THRESHOLDS = {"angle": 5e-3, "det_j": 0.15, "good_frac": 0.85}
+
+
+def check_caustic_plane(backend, record):
+    """caustic_plane (FlatPlane source plane behind the hole,
+    caustic_plane.cpp:1-487) on the accelerator: dist 500, incl 30,
+    z_s 500, 81x81 bundles, RK45 f32."""
+    if not os.path.exists(PLANE_GOLDEN):
+        print(f"caustic_plane: golden {PLANE_GOLDEN} not present — skipped")
+        record["caustic_plane"] = {"pass": False, "skipped": True}
+        return 1
+    import jax.numpy as jnp
+
+    from raytrace_tpu.apps.caustics import SENTINEL, compute
+    from raytrace_tpu.sources import ImagePlaneGrid
+
+    raw = np.fromfile(PLANE_GOLDEN, "<f8")
+    n = 81 * 81
+    names = ["det_j", "sign_j", "order", "hit", "x_s", "y_s",
+             "rdot_flips", "equat_cross"]
+    ref = {nm: raw[i * n:(i + 1) * n].reshape(81, 81) for i, nm in enumerate(names)}
+
+    grid = ImagePlaneGrid.from_steps(-10.0, 10.0, 0.25, -10.0, 10.0, 0.25)
+    maps = compute(0.998, 500.0, 30.0, grid, target="plane", z_s=500.0,
+                   method="rk45", steplim=100000, bundle_eps_frac=0.01,
+                   dtype=jnp.float32)
+
+    hm = maps["hit"].astype(bool)
+    hr = ref["hit"] > 0.5
+    hit_agree = float((hm == hr).mean())
+    both = hm & hr
+    land = float(np.median(np.concatenate([
+        np.abs(maps["x_s"][both] - ref["x_s"][both]),
+        np.abs(maps["y_s"][both] - ref["y_s"][both]),
+    ])))
+    om = maps["order"]
+    order_agree = float((om[both] == ref["order"][both]).mean())
+    dm, dr = maps["det_j"], ref["det_j"]
+    ok = (both & np.isfinite(dm) & np.isfinite(dr) & (dm != SENTINEL)
+          & (np.abs(dr) < 1e29) & (om == ref["order"]))
+    rel = np.abs(dm[ok] / dr[ok] - 1)
+    med_d = float(np.median(rel)) if ok.any() else float("nan")
+    print(f"caustic_plane [{backend}]: hit agreement {100 * hit_agree:.2f}%, "
+          f"order agreement {100 * order_agree:.2f}%; det J median dev "
+          f"{med_d:.3f} over {int(ok.sum())} pixels (REPORTED, not gated: "
+          f"f32-swamped for this target — see PLANE_THRESHOLDS note)")
+    status = 0 if hit_agree > 0.97 else 1
+    checks = {
+        "landing": (land, PLANE_THRESHOLDS["landing"], land < PLANE_THRESHOLDS["landing"]),
+        "order_agree": (order_agree, PLANE_THRESHOLDS["order_agree"],
+                        order_agree > PLANE_THRESHOLDS["order_agree"]),
+    }
+    rec = {"hit_agreement": hit_agree, "jacobian_pixels": int(ok.sum()),
+           "det_j_median_dev_ungated": med_d, "fields": {}}
+    for fld, (val, tol, good) in checks.items():
+        status |= 0 if good else 1
+        rec["fields"][fld] = {"value": float(val), "tol": tol, "pass": bool(good)}
+        print(f"  {fld:10s} {val:9.5f}  (tol {tol})  {'PASS' if good else 'FAIL'}")
+    rec["pass"] = status == 0
+    record["caustic_plane"] = rec
+    return status
+
+
+def check_caustic_sourceplane(backend, record):
+    """caustic_sourceplane (far source sphere, caustic_sourceplane.cpp:1-413)
+    on the accelerator: dist 500, incl 30, r_lim 1000, 82x82, RK45 f32."""
+    if not os.path.exists(SPHERE_GOLDEN):
+        print(f"caustic_sourceplane: golden {SPHERE_GOLDEN} not present — skipped")
+        record["caustic_sourceplane"] = {"pass": False, "skipped": True}
+        return 1
+    import jax.numpy as jnp
+
+    from raytrace_tpu.apps.caustics import SENTINEL, compute
+    from raytrace_tpu.sources import ImagePlaneGrid
+
+    raw = np.fromfile(SPHERE_GOLDEN, "<f8")
+    n = 82 * 82
+    names = ["det_j", "sign_j", "order", "escaped", "theta_s", "phi_s",
+             "rdot_flips", "equat_cross"]
+    ref = {nm: raw[i * n:(i + 1) * n].reshape(82, 82) for i, nm in enumerate(names)}
+
+    dx = 24.0 / 81
+    grid = ImagePlaneGrid.from_steps(-12.0, 12.0, dx, -12.0, 12.0, dx)
+    maps = compute(0.998, 500.0, 30.0, grid, target="sphere", r_lim=1000.0,
+                   method="rk45", steplim=100000, dtype=jnp.float32)
+
+    em = maps["escaped"].astype(bool)
+    er = ref["escaped"] > 0.5
+    esc_agree = float((em == er).mean())
+    both = em & er
+    dphi = np.abs(maps["phi_s"][both] - ref["phi_s"][both])
+    dphi = np.minimum(dphi, 2 * np.pi - dphi)
+    ang = float(np.median(np.concatenate([
+        np.abs(maps["theta_s"][both] - ref["theta_s"][both]), dphi,
+    ])))
+    om = maps["order"]
+    dm, dr = maps["det_j"], ref["det_j"]
+    ok = (both & np.isfinite(dm) & np.isfinite(dr) & (dm != SENTINEL)
+          & (np.abs(dr) < 1e29) & (om == ref["order"]))
+    rel = np.abs(dm[ok] / dr[ok] - 1)
+    med_d = float(np.median(rel))
+    good_frac = float(((rel < 0.5) & (np.sign(dm[ok]) == np.sign(dr[ok]))).mean())
+    print(f"caustic_sourceplane [{backend}]: escape agreement "
+          f"{100 * esc_agree:.2f}%, {int(ok.sum())} order-matched pixels")
+    status = 0 if (esc_agree > 0.97 and ok.sum() > 3000) else 1
+    checks = {
+        "angle": (ang, SPHERE_THRESHOLDS["angle"], ang < SPHERE_THRESHOLDS["angle"]),
+        "det_j": (med_d, SPHERE_THRESHOLDS["det_j"], med_d < SPHERE_THRESHOLDS["det_j"]),
+        "good_frac": (good_frac, SPHERE_THRESHOLDS["good_frac"],
+                      good_frac > SPHERE_THRESHOLDS["good_frac"]),
+    }
+    rec = {"escape_agreement": esc_agree, "jacobian_pixels": int(ok.sum()),
+           "fields": {}}
+    for fld, (val, tol, good) in checks.items():
+        status |= 0 if good else 1
+        rec["fields"][fld] = {"value": float(val), "tol": tol, "pass": bool(good)}
+        print(f"  {fld:10s} {val:9.5f}  (tol {tol})  {'PASS' if good else 'FAIL'}")
+    rec["pass"] = status == 0
+    record["caustic_sourceplane"] = rec
+    return status
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     out_path = None
@@ -233,10 +368,13 @@ def main(argv=None):
 
     record = {"backend": backend, "device": str(jax.devices()[0]),
               "checks_order": ["emissivity", "disc_image_far_field",
-                               "caustic_discplane"]}
+                               "caustic_discplane", "caustic_plane",
+                               "caustic_sourceplane"]}
     checks = {"emissivity": check_emissivity,
               "disc_image_far_field": check_disc_image_far_field,
-              "caustic_discplane": check_caustic_jacobian}
+              "caustic_discplane": check_caustic_jacobian,
+              "caustic_plane": check_caustic_plane,
+              "caustic_sourceplane": check_caustic_sourceplane}
     status = 0
     for name, fn in checks.items():
         if only is None or name in only:

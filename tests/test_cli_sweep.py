@@ -635,3 +635,36 @@ def test_cli(script, tmp_path):
     argv, check = SPECS[script](tmp_path)
     assert main(argv) == 0, f"{script} exited non-zero"
     check()
+
+
+def test_line_profile_image_postprocess_mode(tmp_path):
+    """rt-line-profile's second mode: post-process a disc-image FITS
+    (python/line_from_image.ipynb capability). The folded profile from the
+    written FITS must match the direct-pipeline profile computed from the
+    same maps in-process."""
+    img_argv, _ = _spec_disc_image(tmp_path)
+    assert _resolve(SCRIPTS["rt-disc-image"])(img_argv) == 0
+
+    from raytrace_tpu.apps.line_profile import main as lp_main
+
+    out = tmp_path / "line_img.dat"
+    assert lp_main([
+        f"--outfile={out}", f"--image={tmp_path / 'img.fits'}",
+        "--line_en=6.4", "--Nen=40",
+    ]) == 0
+    cols = _load_text(out, min_rows=40, n_cols=2)
+    assert cols[:, 1].sum() > 0
+
+    # oracle: fold the FITS maps directly through the tested helper
+    from raytrace_tpu.apps.line_profile import line_profile_from_maps
+    from raytrace_tpu.io import read_fits
+
+    maps = read_fits(str(tmp_path / "img.fits"))
+    centres, prof = line_profile_from_maps(
+        np.nan_to_num(maps["FLUX"].astype(float)),
+        np.nan_to_num(maps["ENSHIFT"].astype(float)),
+        maps["NRAYS"].astype(float), 6.4, 40,
+    )
+    np.testing.assert_allclose(cols[:, 0], centres)
+    np.testing.assert_allclose(cols[:, 1], prof, rtol=1e-4,
+                               atol=1e-6 * max(prof.max(), 1e-30))
