@@ -11,7 +11,13 @@ import numpy as np
 
 
 def read_spectrum(filename: str):
-    """Returns (energy, counts) arrays."""
+    """Returns (energy, counts) arrays.
+
+    The first parseable data line fixes the column convention (2-col plain
+    text vs 3-col QDP, mirroring the reference's qdp ctor flag,
+    spectrum.h:143-160); later lines with a different column count are
+    skipped like any other malformed line (spectrum.h:55-67 clears the
+    stream and discards)."""
     rows = []
     ncols = None
     with open(filename) as f:
@@ -24,11 +30,15 @@ def read_spectrum(filename: str):
                 vals = [float(p) for p in parts]
             except ValueError:
                 continue
-            if ncols is None:
-                ncols = len(vals)
             if len(vals) < 2:
                 continue
+            if ncols is None:
+                ncols = len(vals)
+            if len(vals) != ncols:
+                continue
             rows.append(vals)
+    if not rows:
+        raise ValueError(f"no spectrum rows parsed from {filename}")
     arr = np.asarray(rows)
     if arr.shape[1] >= 3:
         # QDP: energy, half width, counts

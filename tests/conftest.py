@@ -35,3 +35,23 @@ def pytest_sessionstart(session):
         f"tests must run on CPU, got {jax.default_backend()}"
     )
     assert jax.device_count() == 8, "expected 8 virtual CPU devices for sharding tests"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_caches_between_modules():
+    """Release compiled executables between test modules.
+
+    The suite is one process compiling hundreds of XLA:CPU programs
+    (every app main in the CLI sweep jits its own); holding all of them
+    alive for the whole run both bloats RSS and has produced a
+    late-suite segfault inside backend_compile_and_load. Modules don't
+    share program shapes, so clearing costs only the next module's
+    (already-counted) compiles.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -123,3 +123,21 @@ def test_fold_delta_line_peaks_at_wind_shift(tmp_path):
     out2 = np.loadtxt(folded2)
     assert np.allclose(out2[:, 1], 2.0 * out[:, 1], rtol=1e-5,
                        atol=1e-6 * out[:, 1].max())
+
+
+def test_ragged_rows_do_not_crash(tmp_path):
+    """A QDP file with a stray 2-column line must not poison the array
+    (the first data line fixes the column convention; off-convention rows
+    are skipped like the reference's cleared-stream discard)."""
+    f = tmp_path / "ragged.qdp"
+    f.write_text("6.4 0.05 1.0\n6.55 0.7\n6.7 0.05 0.5\n")
+    en, cts = read_spectrum(str(f))
+    assert np.allclose(en, [6.4, 6.7])
+    assert np.allclose(cts, [1.0, 0.5])
+
+
+def test_empty_spectrum_raises(tmp_path):
+    f = tmp_path / "empty.dat"
+    f.write_text("# nothing here\nREAD SERR 1\n")
+    with pytest.raises(ValueError):
+        read_spectrum(str(f))
