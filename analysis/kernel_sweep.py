@@ -69,13 +69,29 @@ def main(argv=None):
             out = run()
             _ = int(jnp.max(jnp.abs(out.steps)))
             compile_s = time.time() - t0
+            # single-dispatch wall: best of 3 (the ~27 ms tunnel RTT rides
+            # every sync and its jitter is the same order as the device
+            # time — one sample cannot rank neighbouring variants)
+            wall = float("inf")
+            for _rep in range(3):
+                t0 = time.time()
+                out = run()
+                _ = int(jnp.max(jnp.abs(out.steps)))
+                wall = min(wall, time.time() - t0)
+            # pipelined sustained rate (bench.py methodology): K async
+            # dispatches, one completion barrier — amortises the RTT and is
+            # the discriminating number for sub-RTT kernels
+            K = 6
             t0 = time.time()
-            out = run()
-            _ = int(jnp.max(jnp.abs(out.steps)))
-            wall = time.time() - t0
+            last = None
+            for _rep in range(K):
+                last = run()
+            _ = int(jnp.max(jnp.abs(last.steps)))
+            wall_k = time.time() - t0
             steps = np.abs(np.asarray(out.steps)).astype(np.int64)
             stuck = (np.asarray(out.status) & 8) != 0
-            value = steps[live & ~stuck].sum() / wall
+            useful = steps[live & ~stuck].sum()
+            value = useful / wall
             row = {
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
                 "check": "kernel_sweep",
@@ -83,6 +99,7 @@ def main(argv=None):
                 "rows": rows,
                 "unroll": unroll,
                 "steps_per_s": round(value),
+                "steps_per_s_sustained": round(K * useful / wall_k),
                 "wall_s": round(wall, 4),
                 "compile_s": round(compile_s, 1),
                 "stuck_rays": int((stuck & live).sum()),
@@ -95,9 +112,10 @@ def main(argv=None):
             except OSError:
                 pass
 
-    best = max(results, key=lambda r: r["steps_per_s"])
-    print(f"best: rows={best['rows']} unroll={best['unroll']} "
-          f"{best['steps_per_s'] / 1e6:.0f}M steps/s")
+    best = max(results, key=lambda r: r["steps_per_s_sustained"])
+    print(f"best (sustained): rows={best['rows']} unroll={best['unroll']} "
+          f"{best['steps_per_s_sustained'] / 1e6:.0f}M steps/s "
+          f"({best['steps_per_s'] / 1e6:.0f}M single-dispatch)")
     return 0
 
 

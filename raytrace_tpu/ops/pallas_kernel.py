@@ -69,10 +69,19 @@ def _method_rows(method):
     return _ROWS_RK45 if method == "rk45" else _ROWS
 
 
-# Body sub-steps per while iteration (fewer cond reductions): measured on
-# v5e at 32 rows — RK4 unroll 2: 713M, 4: 720M; RK45 unroll 1: 381M,
-# 2: 358M, 4: 392M steps/s -> default 4.
-_UNROLL = int(_os.environ.get("RT_PALLAS_UNROLL", "4"))
+def _method_unroll(method):
+    return _UNROLL_RK45 if method == "rk45" else _UNROLL
+
+
+# Body sub-steps per while iteration (fewer cond reductions), per method.
+# Round-5 sustained-rate A/B at 32 rows (analysis/kernel_sweep.py, two
+# independent runs each): RK4 unroll 8 beats 4 by a consistent +2.5-3%
+# (2520/2539M vs 2443/2478M sustained) — the fixed-step body is small
+# enough that eight copies still fit the issue window; RK45's larger
+# 7-stage body is a wash (716 vs 702, then 701 vs 707) -> RK4 defaults
+# to 8, RK45 stays at 4. Tunable via RT_PALLAS_UNROLL(_RK45).
+_UNROLL = int(_os.environ.get("RT_PALLAS_UNROLL", "8"))
+_UNROLL_RK45 = int(_os.environ.get("RT_PALLAS_UNROLL_RK45", "4"))
 
 # RayBatch fields marched by the kernel, in a fixed order. Sign/gate/bool
 # fields travel as f32/int32 to keep every ref a (8,128) tile.
@@ -292,7 +301,7 @@ def trace_pallas(
     if rows is None:
         rows = _method_rows(method)
     if unroll is None:
-        unroll = _UNROLL
+        unroll = _method_unroll(method)
 
     n = rays.n_rays
     pad = (-n) % (rows * 128)
@@ -390,7 +399,7 @@ def trace_pallas_phased(
         dest = ThetaLimit(jnp.pi / 2)
     total = steplim + steplim // 4 + 16
     if schedule is None:
-        schedule = auto_schedule(rays.n_rays, total, rows=_method_rows(method), unroll=_UNROLL)
+        schedule = auto_schedule(rays.n_rays, total, rows=_method_rows(method), unroll=_method_unroll(method))
     horizon = horizon_radius(spin) if boundary is None else boundary
     out = _fresh_propagation_state(rays, spin, horizon, method, ctrl)
 
@@ -439,7 +448,7 @@ def trace_pallas_fused(
         # rows/unroll from the module tunables so RT_PALLAS_ROWS/_UNROLL
         # reach the fused production path (the one trace_auto routes to),
         # not just bare trace_pallas — kernel_sweep A/Bs this path.
-        schedule = auto_schedule(rays.n_rays, total, rows=_method_rows(method), unroll=_UNROLL)
+        schedule = auto_schedule(rays.n_rays, total, rows=_method_rows(method), unroll=_method_unroll(method))
     return _trace_pallas_fused_jit(
         rays, spin, dest, boundary,
         method=method, schedule=tuple(tuple(p) for p in schedule),
