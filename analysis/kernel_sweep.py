@@ -80,14 +80,17 @@ def main(argv=None):
                 wall = min(wall, time.time() - t0)
             # pipelined sustained rate (bench.py methodology): K async
             # dispatches, one completion barrier — amortises the RTT and is
-            # the discriminating number for sub-RTT kernels
+            # the discriminating number for sub-RTT kernels. Best of 2
+            # pipelines: one mid-train tunnel stall under-reports ~1.5x.
             K = 6
-            t0 = time.time()
-            last = None
-            for _rep in range(K):
-                last = run()
-            _ = int(jnp.max(jnp.abs(last.steps)))
-            wall_k = time.time() - t0
+            wall_k = float("inf")
+            for _pipe in range(2):
+                t0 = time.time()
+                last = None
+                for _rep in range(K):
+                    last = run()
+                _ = int(jnp.max(jnp.abs(last.steps)))
+                wall_k = min(wall_k, time.time() - t0)
             steps = np.abs(np.asarray(out.steps)).astype(np.int64)
             stuck = (np.asarray(out.status) & 8) != 0
             useful = steps[live & ~stuck].sum()

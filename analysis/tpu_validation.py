@@ -319,8 +319,9 @@ def check_caustic_sourceplane(backend, record):
     ok = (both & np.isfinite(dm) & np.isfinite(dr) & (dm != SENTINEL)
           & (np.abs(dr) < 1e29) & (om == ref["order"]))
     rel = np.abs(dm[ok] / dr[ok] - 1)
-    med_d = float(np.median(rel))
-    good_frac = float(((rel < 0.5) & (np.sign(dm[ok]) == np.sign(dr[ok]))).mean())
+    med_d = float(np.median(rel)) if ok.any() else float("nan")
+    good_frac = (float(((rel < 0.5) & (np.sign(dm[ok]) == np.sign(dr[ok]))).mean())
+                 if ok.any() else 0.0)
     print(f"caustic_sourceplane [{backend}]: escape agreement "
           f"{100 * esc_agree:.2f}%, {int(ok.sum())} order-matched pixels")
     status = 0 if (esc_agree > 0.97 and ok.sum() > 3000) else 1

@@ -200,13 +200,18 @@ def main():
         f"{primary}_sustained": notes["steps_per_s_sustained"],
     }
     if os.environ.get("RT_BENCH_SECONDARY", "1") != "0":
-        other = "rk45" if primary != "rk45" else "rk4"
-        value2, notes2 = bench_once(other)
-        notes2["secondary"] = True
-        _append_notes(notes2)
-        record[f"{other}_steps_per_s"] = round(value2)
-        record[f"{other}_sustained"] = notes2["steps_per_s_sustained"]
-        record["stuck_ok"] = bool(notes["stuck_ok"] and notes2["stuck_ok"])
+        # never let a secondary failure suppress the primary metric line —
+        # the driver contract is exactly one JSON line on stdout
+        try:
+            other = "rk45" if primary != "rk45" else "rk4"
+            value2, notes2 = bench_once(other)
+            notes2["secondary"] = True
+            _append_notes(notes2)
+            record[f"{other}_steps_per_s"] = round(value2)
+            record[f"{other}_sustained"] = notes2["steps_per_s_sustained"]
+            record["stuck_ok"] = bool(notes["stuck_ok"] and notes2["stuck_ok"])
+        except Exception as exc:
+            record["secondary_error"] = repr(exc)[:200]
     print(json.dumps(record))
 
 

@@ -120,11 +120,13 @@ def _fit_step_case(mesh):
 def _single_process_reference() -> dict:
     """Same pipeline on one process (virtual 8-device mesh) for comparison."""
     n_dev = NPROC * DEVS_PER_PROC
+    # device count injected as a literal — never %-format a string holding
+    # the user's own XLA_FLAGS (a % in their flags would crash the child)
     code = f"N_DEV = {n_dev}\n" + r"""
 import os, json
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=%d").strip() % N_DEV
+    + f" --xla_force_host_platform_device_count={N_DEV}").strip()
 import jax
 jax.config.update("jax_platforms", "cpu")
 from raytrace_tpu.parallel import make_ray_mesh, sharded_emissivity_gradient

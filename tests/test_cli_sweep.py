@@ -34,7 +34,7 @@ def _console_scripts() -> dict[str, str]:
     """Parse [project.scripts] out of pyproject.toml (no tomllib dependency
     on exotic formats — the table is plain ``name = "module:func"`` lines)."""
     text = (REPO / "pyproject.toml").read_text()
-    block = re.search(r"\[project\.scripts\](.*?)\n\[", text, re.S).group(1)
+    block = re.search(r"\[project\.scripts\](.*?)(?:\n\[|\Z)", text, re.S).group(1)
     scripts = {}
     for line in block.splitlines():
         m = re.match(r'\s*([\w-]+)\s*=\s*"([\w\.]+:[\w]+)"', line)
