@@ -342,6 +342,50 @@ def check_caustic_sourceplane(backend, record):
     return status
 
 
+def check_emissivity_cli(backend, record):
+    """The PRODUCTION CLI surface on the chip: rt-emissivity's main() at the
+    golden config (par file + overrides, text output, auto-mesh path) —
+    every other check drives compute() directly; this one proves the app
+    wiring end-to-end on hardware."""
+    import tempfile
+
+    from raytrace_tpu.apps.emissivity import main
+
+    ref = np.loadtxt(GOLDEN)
+    g = dict(zip(["r", "area", "rays", "flux", "emis", "redshift", "time"], ref.T))
+    with tempfile.TemporaryDirectory() as tmp:
+        out_path = os.path.join(tmp, "emis_cli.dat")
+        par = os.path.join(tmp, "emis.par")
+        with open(par, "w") as f:
+            f.write(
+                "source = 0 5 1E-3 1.5707\nV = 0\nspin = 0.998\n"
+                "dcosalpha = 0.05\ndbeta = 0.05\nNr = 100\nlogbin_r = 1\n"
+                "integrator = rk45\nsteplim = 20000\n"
+            )
+        rc = main([f"--parfile={par}", f"--outfile={out_path}"])
+        mine_cols = np.loadtxt(out_path)
+    mine = dict(zip(["r", "area", "rays", "flux", "emis", "redshift", "time"],
+                    mine_cols.T))
+    gated = (
+        (g["rays"] >= 100) & (mine["rays"] >= 100)
+        & (np.abs(mine["rays"] - g["rays"]) < 0.10 * np.maximum(g["rays"], 1))
+    )
+    print(f"emissivity CLI [{backend}]: exit {rc}, {int(gated.sum())} gated bins")
+    status = 0 if (rc == 0 and gated.sum() >= 15) else 1
+    rec = {"exit": rc, "gated_bins": int(gated.sum()), "fields": {}}
+    for fld, tol in THRESHOLDS.items():
+        dev = np.abs(mine[fld][gated] / g[fld][gated] - 1.0)
+        ok = dev.max() < tol
+        status |= 0 if ok else 1
+        rec["fields"][fld] = {"max_dev": float(dev.max()), "tol": tol,
+                              "pass": bool(ok)}
+        print(f"  {fld:9s} max dev {100 * dev.max():6.2f}%  (tol {100 * tol:.1f}%)"
+              f"  {'PASS' if ok else 'FAIL'}")
+    rec["pass"] = status == 0
+    record["emissivity_cli"] = rec
+    return status
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     out_path = None
@@ -370,12 +414,13 @@ def main(argv=None):
     record = {"backend": backend, "device": str(jax.devices()[0]),
               "checks_order": ["emissivity", "disc_image_far_field",
                                "caustic_discplane", "caustic_plane",
-                               "caustic_sourceplane"]}
+                               "caustic_sourceplane", "emissivity_cli"]}
     checks = {"emissivity": check_emissivity,
               "disc_image_far_field": check_disc_image_far_field,
               "caustic_discplane": check_caustic_jacobian,
               "caustic_plane": check_caustic_plane,
-              "caustic_sourceplane": check_caustic_sourceplane}
+              "caustic_sourceplane": check_caustic_sourceplane,
+              "emissivity_cli": check_emissivity_cli}
     status = 0
     for name, fn in checks.items():
         if only is None or name in only:
